@@ -7,11 +7,20 @@ chips (SURVEY.md §4 note on multi-host testing).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests. The environment preloads jax (sitecustomize) with
+# JAX_PLATFORMS pointed at the TPU tunnel, where (a) every process start
+# pays TPU init and (b) f32 matmuls default to bf16 MXU precision, breaking
+# unit-test tolerances. Env vars are read at jax import time — too late to
+# set here — so use jax.config.update instead. Tests are about semantics,
+# not hardware; bench.py exercises the real chip.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
