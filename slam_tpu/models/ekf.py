@@ -316,29 +316,71 @@ def ekf_augment(state: EKFState, z, ids, is_new, R) -> EKFState:
 
 
 # ---------------------------------------------------------------------------
-# Full step
+# Full steps and config-bound wrapper
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=(
-    "wheelbase", "dt", "heading_known", "association_known",
-    "gate_reject", "gate_augment"))
-def ekf_step(state: EKFState, v, g, Q, R, z, ids, zmask, phi, sigma_phi,
-             *, wheelbase: float, dt: float, heading_known: bool,
-             association_known: bool, gate_reject: float,
-             gate_augment: float) -> EKFState:
-    """One observation-tick EKF step: predict was already applied per
-    control tick; this performs heading observe -> associate -> batch
-    update -> augment (EKFSLAM::sim, ekfslam.cpp:17-43)."""
-    if heading_known:
-        state = ekf_observe_heading(state, phi, sigma_phi)
+def ekf_step(state: EKFState, z, ids, zmask, R, Re,
+             *, association_known: bool, gate_reject: float,
+             gate_augment: float, batch_update: bool = True) -> EKFState:
+    """Observe-tick EKF step: associate (with Re) -> batch update (with
+    the true sensor R, as the reference does: ekfslam.cpp:39) -> augment
+    (with Re) (EKFSLAM::sim, ekfslam.cpp:30-42). Predict + heading observe
+    run every control tick separately."""
     if association_known:
         assoc, is_new = ekf_data_associate_known(state, ids, zmask)
     else:
         assoc, is_new = ekf_data_associate(
-            state, z, zmask, R, gate_reject, gate_augment)
-    state = ekf_batch_update(state, z, assoc, R)
-    state = ekf_augment(state, z, ids, is_new, R)
+            state, z, zmask, Re, gate_reject, gate_augment)
+    if batch_update:
+        state = ekf_batch_update(state, z, assoc, R)
+    state = ekf_augment(state, z, ids, is_new, Re)
     return state
 
 
-ekf_predict_jit = jax.jit(ekf_predict, static_argnames=("wheelbase", "dt"))
+class EkfSlam:
+    """Config-bound EKF-SLAM with jitted per-tick and per-observe steps,
+    sharing the estimator interface of FastSlam1/FastSlam2."""
+
+    def __init__(self, config, n_map_landmarks: int):
+        self.config = config
+        self.n_map = n_map_landmarks
+        self.capacity = config.max_landmarks or n_map_landmarks
+        cfg = config
+
+        def _predict_tick(state, vn, gn, phi):
+            state = ekf_predict(state, vn, gn,
+                                jnp.diag(jnp.asarray(cfg.Qe, jnp.float32)),
+                                cfg.WHEELBASE, cfg.DT_CONTROLS)
+            if cfg.SWITCH_HEADING_KNOWN:
+                state = ekf_observe_heading(state, phi, cfg.sigmaT)
+            return state
+
+        self._predict = jax.jit(_predict_tick)
+        self._update = jax.jit(partial(
+            ekf_step,
+            association_known=bool(cfg.SWITCH_ASSOCIATION_KNOWN),
+            gate_reject=cfg.GATE_REJECT,
+            gate_augment=cfg.GATE_AUGMENT,
+            batch_update=bool(cfg.SWITCH_BATCH_UPDATE)))
+
+    def init(self, n_particles=None) -> EKFState:
+        return ekf_init(self.capacity, self.n_map)
+
+    def predict(self, state, key, vn, gn, phi) -> EKFState:
+        """Per control tick (EKFSLAM::sim head, ekfslam.cpp:22-28). The
+        EKF is deterministic — ``key`` is part of the shared estimator
+        interface and unused; ``phi`` is the noisy IMU heading
+        (ekfslamwrapper.cpp:81)."""
+        del key
+        return self._predict(state, vn, gn, phi)
+
+    def update(self, state, key, z, ids, zmask, phi=None) -> EKFState:
+        del key, phi
+        cfg = self.config
+        return self._update(state, z, ids, zmask,
+                            jnp.diag(jnp.asarray(cfg.R, jnp.float32)),
+                            jnp.diag(jnp.asarray(cfg.Re, jnp.float32)))
+
+    def pose(self, state) -> jnp.ndarray:
+        """Estimated pose = joint-state head (xEstimated[:3])."""
+        return state.x[:3]

@@ -1,0 +1,122 @@
+"""FastSLAM 1.0 — RBPF with likelihood weighting.
+
+TPU-first re-design of the reference FastSLAM1
+(src/backend/algorithms/fastslam1.cpp): the per-particle loops become one
+batched computation over the whole [P] particle axis; weights live in log
+space; the per-landmark 2x2 EKFs run as one [P, K] batch through
+feature_update_2x2 (and, on TPU, the fused Pallas kernel).
+
+Pipeline per observe tick (fastslam1wrapper.cpp:55-109):
+  predict (noisy motion sample, forced on: fastslam1wrapper.cpp:20)
+  -> optional per-particle heading observe (fastslam1.cpp:74-86)
+  -> known data association (fastslam1wrapper.cpp:76-79)
+  -> weight *= likelihood of matched obs (computeWeight, fastslam1.cpp:91-118)
+  -> per-landmark feature EKF updates (core.cpp:132-175)
+  -> new-feature initialization (core.cpp:479-509)
+  -> Neff-gated stratified resampling (core.cpp:718-749)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import SlamConfig
+from slam_tpu.models import rbpf
+from slam_tpu.models.particles import ParticleState, estimate_position, init_particles
+from slam_tpu.ops.gauss import log_gauss_2x2
+from slam_tpu.ops.jacobians import compute_jacobians
+from slam_tpu.geometry import wrap_angle
+
+
+def fs1_predict(state: ParticleState, key, vn, gn, Q,
+                *, wheelbase: float, dt: float, add_noise: bool = True
+                ) -> ParticleState:
+    """Sample per-particle controls and propagate poses
+    (FastSLAM1::predictState, fastslam1.cpp:37-54). The FS1 wrapper forces
+    noise on unconditionally (fastslam1wrapper.cpp:20)."""
+    V, G = rbpf.sample_controls(key, vn, gn, Q, state.n_particles,
+                                add_noise)
+    xv = rbpf.propagate_poses(state.xv, V, G, wheelbase, dt)
+    return state._replace(xv=xv)
+
+
+def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
+               *, do_resample: bool = True) -> ParticleState:
+    """Weight, per-landmark EKF update, new features, resample
+    (FastSLAM1::update, fastslam1.cpp:18-35)."""
+    assoc, is_new = rbpf.associate_known(state, ids, zmask)
+    matched = assoc >= 0
+    slot = jnp.where(matched, assoc, 0)
+
+    # Batched Jacobians at every particle's pose for every matched obs:
+    # [P, K, ...] (the reference's per-particle computeJacobians loop,
+    # fastslam1.cpp:91-118 -> core.cpp:666-713).
+    xf = jnp.take_along_axis(state.lm, slot[None, :, None], axis=1)
+    Pf = jnp.take_along_axis(state.lm_P, slot[None, :, None, None], axis=1)
+    zp, _, Hf, Sf = compute_jacobians(
+        state.xv[:, None, :], xf, Pf, jnp.asarray(R, state.lm.dtype))
+
+    v = z[None, :, :] - zp
+    v = v.at[..., 1].set(wrap_angle(v[..., 1]))
+
+    # computeWeight: product over matched obs of N(v; 0, Sf) — a masked
+    # log-sum here (fastslam1.cpp:108-117 works in linear space and
+    # underflows at scale).
+    logl = jnp.where(matched[None, :], log_gauss_2x2(v, Sf), 0.0)
+    logw = state.logw + jnp.sum(logl, axis=1)
+    state = state._replace(logw=logw)
+
+    state = rbpf.update_matched_features(state, z, assoc, R, zp, Hf,
+                                         matched)
+    state = rbpf.add_new_features(state, z, ids, is_new, R)
+    return rbpf.resample(state, key, n_min, do_resample)
+
+
+class FastSlam1:
+    """Config-bound FastSLAM 1.0 with jitted step functions."""
+
+    def __init__(self, config: SlamConfig, n_map_landmarks: int):
+        self.config = config
+        self.n_map = n_map_landmarks
+        self.capacity = config.max_landmarks or n_map_landmarks
+        cfg = config
+        self._predict = jax.jit(partial(
+            fs1_predict, wheelbase=cfg.WHEELBASE, dt=cfg.DT_CONTROLS,
+            add_noise=True))
+        self._update = jax.jit(partial(
+            fs1_update, do_resample=bool(cfg.SWITCH_RESAMPLE)))
+        self._observe_heading = jax.jit(rbpf.observe_heading_particles)
+
+    def init(self, n_particles: int | None = None) -> ParticleState:
+        n = n_particles or self.config.NPARTICLES
+        return init_particles(n, self.capacity, self.n_map)
+
+    def predict(self, state, key, vn, gn, phi_true) -> ParticleState:
+        """Per control tick: noisy motion sample; under
+        SWITCH_HEADING_KNOWN also a per-particle heading Joseph update
+        against the TRUE heading (FastSLAM1::predict,
+        fastslam1.cpp:57-65 — a no-op while Pv stays zero, as in the
+        reference)."""
+        state = self._predict(state, key, vn, gn,
+                              jnp.diag(jnp.asarray(self.config.Qe,
+                                                   jnp.float32)))
+        if self.config.SWITCH_HEADING_KNOWN:
+            state = self._observe_heading(state, phi_true,
+                                          self.config.sigmaT)
+        return state
+
+    def update(self, state, key, z, ids, zmask, phi=None) -> ParticleState:
+        cfg = self.config
+        n_min = cfg.NEFFECTIVE * state.n_particles / cfg.NPARTICLES \
+            if cfg.NPARTICLES else cfg.NEFFECTIVE
+        return self._update(state, key, z, ids, zmask,
+                            jnp.diag(jnp.asarray(cfg.Re, jnp.float32)),
+                            jnp.float32(n_min))
+
+    def pose(self, state) -> "jnp.ndarray":
+        """Estimated pose from the particle cloud
+        (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119)."""
+        return estimate_position(state)

@@ -58,8 +58,8 @@ def observe_heading_particles(state: ParticleState, phi, sigma_phi
     PHt = state.Pv[:, :, 2]                                   # [P, 3]
     s = state.Pv[:, 2, 2] + r                                 # [P]
     W = PHt / s[:, None]                                      # [P, 3]
-    v = wrap_angle(phi - state.xv[:, 2])                      # scalar-bcast
-    xv = state.xv + W * v[..., None] if jnp.ndim(v) else state.xv + W * v
+    v = wrap_angle(phi - state.xv[:, 2])                      # [P]
+    xv = state.xv + W * v[:, None]
     # Joseph: (I - W H) P (I - W H)^T + r W W^T with H = e3.
     C = jnp.broadcast_to(jnp.eye(3, dtype=state.Pv.dtype),
                          state.Pv.shape) - W[:, :, None] * _E3

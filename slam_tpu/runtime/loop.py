@@ -1,0 +1,161 @@
+"""The run loop: one compiled scan over observation supersteps.
+
+The reference's per-wrapper while-loops (ekfslamwrapper.cpp:47-108,
+fastslam1wrapper.cpp:32-109, fastslam2wrapper.cpp:31-122) dispatch one
+C++ iteration per control tick. Here a *superstep* = ``steps_per_observe``
+control ticks + one observation/update, and the whole run is
+``lax.scan(superstep, ...)`` — a single XLA program with no host round
+trips, which is what makes steps/sec on a TPU chip meaningful.
+
+Termination: the reference breaks its loop when waypoints are exhausted
+(slamwrapper.cpp:177-190). A scan has a static trip count, so the runner
+first measures the run length with a cheap sim-only rollout, then compiles
+the full program for exactly that many supersteps; any tail ticks are
+masked by the vehicle's ``done`` flag.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import SlamConfig
+from slam_tpu.maps import SlamMap
+from slam_tpu.models import EkfSlam, make_estimator
+from slam_tpu.sim.simulator import SimState, Simulator
+
+
+class RunResult(NamedTuple):
+    """Per-superstep traces (numpy, host-side) + final estimator state."""
+    true_pose: np.ndarray      # [T, 3]
+    est_pose: np.ndarray       # [T, 3]
+    active: np.ndarray         # [T] bool — vehicle not yet done
+    obs_count: np.ndarray      # [T] int32 visible landmarks
+    obs_range_sum: np.ndarray  # [T] float32 sum of observed ranges
+    final_state: Any
+    n_ticks: int
+    wall_seconds: float        # full compiled-run wall time
+    compile_seconds: float
+
+
+class Runner:
+    """Config + map + method bound run driver (the reference's
+    SLAMBackendApplication + wrapper selection,
+    SLAMBackendApplication.cpp:26-42)."""
+
+    def __init__(self, config: SlamConfig, slam_map: SlamMap,
+                 method: str = "EKF1", n_particles: int | None = None):
+        self.config = config
+        self.map = slam_map
+        self.method = method.upper()
+        self.sim = Simulator(config, slam_map)
+        self.est = make_estimator(self.method, config,
+                                  slam_map.n_landmarks)
+        self.n_particles = n_particles
+        self._compiled = None
+
+    # ------------------------------------------------------------------
+    def estimate_run_ticks(self, cap: int | None = None) -> int:
+        """Sim-only rollout to find the tick at which the waypoint loops
+        complete (the reference's control() == -1 condition)."""
+        cfg = self.config
+        if cap is None:
+            wp = self.map.waypoints
+            seg = np.linalg.norm(np.diff(np.vstack([wp, wp[:1]]), axis=0),
+                                 axis=1).sum()
+            cap = int(1.6 * cfg.NUMBER_LOOPS * seg / (cfg.V *
+                                                      cfg.DT_CONTROLS)) + 64
+        state = self.sim.init()
+        _, _, dones = self.sim.rollout_controls(state, cap)
+        dones = np.asarray(dones)
+        idx = int(np.argmax(dones)) if dones.any() else cap
+        period = cfg.steps_per_observe
+        return max(period, ((idx + period - 1) // period) * period)
+
+    # ------------------------------------------------------------------
+    def _superstep(self, carry, _):
+        sim_state, est_state, key = carry
+        period = self.config.steps_per_observe
+        ekf = isinstance(self.est, EkfSlam)
+
+        def tick(c, _):
+            sim_state, est_state, key = c
+            sim_state, controls = self.sim.control_step(sim_state)
+            # Heading for the per-tick observe: EKF gets the noisy IMU
+            # heading (ekfslamwrapper.cpp:81); FastSLAM gets truth
+            # (fastslam1.cpp:63).
+            if ekf:
+                sim_state, phi = self.sim.heading_measurement(sim_state)
+            else:
+                phi = sim_state.vehicle.pose[2]
+            key, sub = jax.random.split(key)
+            new_est = self.est.predict(est_state, sub, controls.v_noisy,
+                                       controls.g_noisy, phi)
+            # Freeze both sim and estimator once the run is done.
+            est_state = jax.tree.map(
+                lambda new, old: jnp.where(sim_state.vehicle.done, old,
+                                           new),
+                new_est, est_state)
+            return (sim_state, est_state, key), None
+
+        (sim_state, est_state, key), _ = jax.lax.scan(
+            tick, (sim_state, est_state, key), None, length=period)
+
+        sim_state, obs = self.sim.observe_step(sim_state)
+        key, sub = jax.random.split(key)
+        new_est = self.est.update(est_state, sub, obs.z, obs.ids, obs.mask)
+        est_state = jax.tree.map(
+            lambda new, old: jnp.where(sim_state.vehicle.done, old, new),
+            new_est, est_state)
+
+        out = (sim_state.vehicle.pose,
+               self.est.pose(est_state),
+               ~sim_state.vehicle.done,
+               obs.count,
+               jnp.sum(jnp.where(obs.mask, obs.z[:, 0], 0.0)))
+        return (sim_state, est_state, key), out
+
+    def _build(self, n_supersteps: int):
+        def program(sim_state: SimState, est_state, key):
+            return jax.lax.scan(self._superstep,
+                                (sim_state, est_state, key), None,
+                                length=n_supersteps)
+        return jax.jit(program)
+
+    # ------------------------------------------------------------------
+    def run(self, seed: int = 0, n_ticks: int | None = None) -> RunResult:
+        cfg = self.config
+        period = cfg.steps_per_observe
+        if n_ticks is None:
+            n_ticks = self.estimate_run_ticks()
+        n_supersteps = n_ticks // period
+
+        sim_state = self.sim.init(seed=seed or cfg.SWITCH_SEED_RANDOM)
+        est_state = self.est.init(self.n_particles)
+        key = jax.random.PRNGKey(seed + 1)
+
+        program = self._build(n_supersteps)
+        t0 = time.perf_counter()
+        lowered = program.lower(sim_state, est_state, key)
+        compiled = lowered.compile()
+        t1 = time.perf_counter()
+        (_, final_est, _), outs = compiled(sim_state, est_state, key)
+        jax.block_until_ready(outs)
+        t2 = time.perf_counter()
+
+        true_pose, est_pose, active, obs_count, range_sum = outs
+        return RunResult(
+            true_pose=np.asarray(true_pose),
+            est_pose=np.asarray(est_pose),
+            active=np.asarray(active),
+            obs_count=np.asarray(obs_count),
+            obs_range_sum=np.asarray(range_sum),
+            final_state=final_est,
+            n_ticks=n_supersteps * period,
+            wall_seconds=t2 - t1,
+            compile_seconds=t1 - t0,
+        )
