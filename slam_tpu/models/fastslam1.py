@@ -44,9 +44,14 @@ def fs1_predict(state: ParticleState, key, vn, gn, Q,
 
 
 def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
-               *, do_resample: bool = True) -> ParticleState:
+               *, do_resample: bool = True,
+               resample_fn=None) -> ParticleState:
     """Weight, per-landmark EKF update, new features, resample
-    (FastSLAM1::update, fastslam1.cpp:18-35)."""
+    (FastSLAM1::update, fastslam1.cpp:18-35).
+
+    ``resample_fn(state, key, n_min)``: override for the sharded
+    collective resampler (slam_tpu.parallel); default is the single-chip
+    stratified resample."""
     assoc, is_new = rbpf.associate_known(state, ids, zmask)
     matched = assoc >= 0
     slot = jnp.where(matched, assoc, 0)
@@ -72,6 +77,8 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     state = rbpf.update_matched_features(state, z, assoc, R, zp, Hf,
                                          matched)
     state = rbpf.add_new_features(state, z, ids, is_new, R)
+    if resample_fn is not None:
+        return resample_fn(state, key, n_min)
     return rbpf.resample(state, key, n_min, do_resample)
 
 

@@ -127,9 +127,13 @@ def _log_likelihood_given_pose(pose, lm, lm_P, z, slot, matched, R):
 
 
 def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
-               *, do_resample: bool = True) -> ParticleState:
+               *, do_resample: bool = True,
+               resample_fn=None) -> ParticleState:
     """Proposal sampling, weighting, map update, resampling
-    (FastSLAM2::update, fastslam2.cpp:21-48)."""
+    (FastSLAM2::update, fastslam2.cpp:21-48).
+
+    ``resample_fn(state, key, n_min)``: override for the sharded
+    collective resampler (slam_tpu.parallel)."""
     assoc, is_new = rbpf.associate_known(state, ids, zmask)
     matched = assoc >= 0
     slot = jnp.where(matched, assoc, 0)
@@ -173,6 +177,8 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     state = rbpf.update_matched_features(state, z, assoc, R, zp, Hf,
                                          matched)
     state = rbpf.add_new_features(state, z, ids, is_new, R)
+    if resample_fn is not None:
+        return resample_fn(state, key, n_min)
     return rbpf.resample(state, key, n_min, do_resample)
 
 

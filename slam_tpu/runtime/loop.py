@@ -48,13 +48,16 @@ class Runner:
     SLAMBackendApplication.cpp:26-42)."""
 
     def __init__(self, config: SlamConfig, slam_map: SlamMap,
-                 method: str = "EKF1", n_particles: int | None = None):
+                 method: str = "EKF1", n_particles: int | None = None,
+                 estimator=None):
         self.config = config
         self.map = slam_map
         self.method = method.upper()
         self.sim = Simulator(config, slam_map)
-        self.est = make_estimator(self.method, config,
-                                  slam_map.n_landmarks)
+        # ``estimator``: prebuilt estimator override (e.g. a sharded
+        # FastSlam from slam_tpu.parallel) sharing the same interface.
+        self.est = estimator if estimator is not None else make_estimator(
+            self.method, config, slam_map.n_landmarks)
         self.n_particles = n_particles
         self._compiled = None
 
