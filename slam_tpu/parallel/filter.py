@@ -94,15 +94,15 @@ class _ShardedFastSlamBase:
         self._predict = jax.jit(shard_map(
             predict_local, mesh=mesh,
             in_specs=(state_specs, scalar, scalar, scalar, scalar),
-            out_specs=state_specs, check_rep=False))
+            out_specs=state_specs, check_vma=False))
         self._update = jax.jit(shard_map(
             update_local, mesh=mesh,
             in_specs=(state_specs, scalar, scalar, scalar, scalar,
                       scalar),
-            out_specs=state_specs, check_rep=False))
+            out_specs=state_specs, check_vma=False))
         self._pose = jax.jit(shard_map(
             pose_local, mesh=mesh, in_specs=(state_specs,),
-            out_specs=P(), check_rep=False))
+            out_specs=P(), check_vma=False))
 
     # -- estimator interface -------------------------------------------
     def init(self, n_particles: int | None = None) -> ParticleState:

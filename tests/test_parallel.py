@@ -50,7 +50,7 @@ def test_global_neff_matches_local(mesh):
                        .normal(size=64).astype(np.float32))
     f = jax.jit(shard_map(lambda w: global_neff(w, "p"), mesh=mesh,
                           in_specs=(P("p"),), out_specs=P(),
-                          check_rep=False))
+                          check_vma=False))
     np.testing.assert_allclose(float(f(logw)),
                                float(effective_particles(logw)),
                                rtol=1e-5)
@@ -71,7 +71,7 @@ def test_ring_resample_identity_when_uniform(mesh):
 
     f = jax.jit(shard_map(run, mesh=mesh, in_specs=(specs,),
                           out_specs=(specs, P("p"), P()),
-                          check_rep=False))
+                          check_vma=False))
     new_state, new_logw, did = f(state)
     assert not bool(did)
     np.testing.assert_allclose(np.asarray(new_state.xv),
@@ -102,7 +102,7 @@ def test_ring_resample_proportional_ancestry(mesh):
 
     f = jax.jit(shard_map(run, mesh=mesh, in_specs=(specs,),
                           out_specs=(specs, P("p"), P()),
-                          check_rep=False))
+                          check_vma=False))
     new_state, new_logw, did = f(state)
     assert bool(did)
     xv = np.asarray(new_state.xv)
@@ -126,7 +126,7 @@ def test_sharded_estimate_position_matches(mesh):
     specs = particle_state_specs()
     f = jax.jit(shard_map(
         lambda s: sharded_estimate_position(s.logw, s.xv, "p"),
-        mesh=mesh, in_specs=(specs,), out_specs=P(), check_rep=False))
+        mesh=mesh, in_specs=(specs,), out_specs=P(), check_vma=False))
     np.testing.assert_allclose(np.asarray(f(state)),
                                np.asarray(estimate_position(state)),
                                atol=1e-5)
