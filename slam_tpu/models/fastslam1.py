@@ -1,10 +1,10 @@
-"""FastSLAM 1.0 — RBPF with likelihood weighting.
+"""FastSLAM 1.0 — RBPF with likelihood weighting (plane form).
 
 TPU-first re-design of the reference FastSLAM1
-(src/backend/algorithms/fastslam1.cpp): the per-particle loops become one
-batched computation over the whole [P] particle axis; weights live in log
-space; the per-landmark 2x2 EKFs run as one [P, K] batch through
-feature_update_2x2 (and, on TPU, the fused Pallas kernel).
+(src/backend/algorithms/fastslam1.cpp): the per-particle loops become
+plane arithmetic over the trailing particle axis; weights live in log
+space; the per-landmark 2x2 EKFs run as one [K, P] batch (and, on TPU,
+through the fused Pallas observation kernel).
 
 Pipeline per observe tick (fastslam1wrapper.cpp:55-109):
   predict (noisy motion sample, forced on: fastslam1wrapper.cpp:20)
@@ -25,10 +25,12 @@ import jax.numpy as jnp
 
 from slam_tpu.config import SlamConfig
 from slam_tpu.models import rbpf
-from slam_tpu.models.particles import ParticleState, estimate_position, init_particles
-from slam_tpu.ops.gauss import log_gauss_2x2
-from slam_tpu.ops.jacobians import compute_jacobians
-from slam_tpu.geometry import wrap_angle
+from slam_tpu.models.particles import (
+    ParticleState,
+    estimate_position,
+    init_particles,
+)
+from slam_tpu.ops.planes import log_gauss2_planes
 
 
 def fs1_predict(state: ParticleState, key, vn, gn, Q,
@@ -44,38 +46,37 @@ def fs1_predict(state: ParticleState, key, vn, gn, Q,
 
 
 def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
-               *, do_resample: bool = True,
+               *, do_resample: bool = True, use_pallas: bool = False,
                resample_fn=None) -> ParticleState:
     """Weight, per-landmark EKF update, new features, resample
     (FastSLAM1::update, fastslam1.cpp:18-35).
 
-    ``resample_fn(state, key, n_min)``: override for the sharded
-    collective resampler (slam_tpu.parallel); default is the single-chip
-    stratified resample."""
+    ``use_pallas``: route the fused Jacobian+likelihood+feature-update
+    through the TPU kernel (slam_tpu.ops.pallas). ``resample_fn(state,
+    key, n_min)``: override for the sharded collective resampler."""
     assoc, is_new = rbpf.associate_known(state, ids, zmask)
     matched = assoc >= 0
     slot = jnp.where(matched, assoc, 0)
 
-    # Batched Jacobians at every particle's pose for every matched obs:
-    # [P, K, ...] (the reference's per-particle computeJacobians loop,
-    # fastslam1.cpp:91-118 -> core.cpp:666-713).
-    xf = jnp.take_along_axis(state.lm, slot[None, :, None], axis=1)
-    Pf = jnp.take_along_axis(state.lm_P, slot[None, :, None, None], axis=1)
-    zp, _, Hf, Sf = compute_jacobians(
-        state.xv[:, None, :], xf, Pf, jnp.asarray(R, state.lm.dtype))
+    if use_pallas:
+        from slam_tpu.ops.pallas import fs1_observe_tpu
+        state = fs1_observe_tpu(state, z, slot, matched, R)
+    else:
+        # Batched Jacobians at every particle's pose for every matched
+        # obs (the reference's per-particle computeJacobians loop,
+        # fastslam1.cpp:91-118 -> core.cpp:666-713)...
+        J, v0, v1 = rbpf.observe_planes(state, z, slot, R)
+        # ...computeWeight: product over matched obs of N(v; 0, Sf) — a
+        # masked log-sum (fastslam1.cpp:108-117 is linear-space and
+        # underflows at scale)...
+        logl = jnp.where(matched[:, None],
+                         log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11),
+                         0.0)
+        state = state._replace(logw=state.logw + jnp.sum(logl, axis=0))
+        # ...then the per-landmark 2x2 EKF updates.
+        state = rbpf.update_matched_features(state, slot, matched,
+                                             v0, v1, J)
 
-    v = z[None, :, :] - zp
-    v = v.at[..., 1].set(wrap_angle(v[..., 1]))
-
-    # computeWeight: product over matched obs of N(v; 0, Sf) — a masked
-    # log-sum here (fastslam1.cpp:108-117 works in linear space and
-    # underflows at scale).
-    logl = jnp.where(matched[None, :], log_gauss_2x2(v, Sf), 0.0)
-    logw = state.logw + jnp.sum(logl, axis=1)
-    state = state._replace(logw=logw)
-
-    state = rbpf.update_matched_features(state, z, assoc, R, zp, Hf,
-                                         matched)
     state = rbpf.add_new_features(state, z, ids, is_new, R)
     if resample_fn is not None:
         return resample_fn(state, key, n_min)
@@ -85,16 +86,21 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
 class FastSlam1:
     """Config-bound FastSLAM 1.0 with jitted step functions."""
 
-    def __init__(self, config: SlamConfig, n_map_landmarks: int):
+    def __init__(self, config: SlamConfig, n_map_landmarks: int,
+                 use_pallas: bool | None = None):
         self.config = config
         self.n_map = n_map_landmarks
         self.capacity = config.max_landmarks or n_map_landmarks
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         cfg = config
         self._predict = jax.jit(partial(
             fs1_predict, wheelbase=cfg.WHEELBASE, dt=cfg.DT_CONTROLS,
             add_noise=True))
         self._update = jax.jit(partial(
-            fs1_update, do_resample=bool(cfg.SWITCH_RESAMPLE)))
+            fs1_update, do_resample=bool(cfg.SWITCH_RESAMPLE),
+            use_pallas=use_pallas))
         self._observe_heading = jax.jit(rbpf.observe_heading_particles)
 
     def init(self, n_particles: int | None = None) -> ParticleState:
@@ -123,7 +129,7 @@ class FastSlam1:
                             jnp.diag(jnp.asarray(cfg.Re, jnp.float32)),
                             jnp.float32(n_min))
 
-    def pose(self, state) -> "jnp.ndarray":
+    def pose(self, state) -> jnp.ndarray:
         """Estimated pose from the particle cloud
         (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119)."""
         return estimate_position(state)

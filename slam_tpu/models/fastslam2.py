@@ -1,4 +1,5 @@
-"""FastSLAM 2.0 — RBPF with the optimal (observation-driven) proposal.
+"""FastSLAM 2.0 — RBPF with the optimal (observation-driven) proposal,
+in plane form.
 
 TPU-first re-design of the reference FastSLAM2
 (src/backend/algorithms/fastslam2.cpp). Structure per observe tick
@@ -11,22 +12,24 @@ TPU-first re-design of the reference FastSLAM2
            Pv <- (Hv' Sf^-1 Hv + Pv^-1)^-1
            xv <- xv + Pv Hv' Sf^-1 v
   sample xvs ~ N(xv, Pv); Pv <- 0
-  w *= likelihood(z | xvs) * prior / proposal (log-space here;
-           the reference's gaussEvaluate Cholesky+SVD dance,
-           fastslam2.cpp:127-163, collapses to closed 2x2/3x3 forms)
+  w *= likelihood(z | xvs) * prior / proposal (log-space; the reference's
+           gaussEvaluate Cholesky+SVD dance, fastslam2.cpp:127-163,
+           collapses to closed adjugate/Cholesky plane forms)
   feature EKF updates + new features at the sampled pose
   Neff-gated stratified resampling
 
-The whole particle axis is batched; the K-observation refinement loop is a
-masked ``lax.fori_loop`` (static bound = max_obs), so one compiled program
-serves every tick. The reference's MULTIPARTICLE_ACCELERATOR FPGA batch
-(fastslam2.cpp:168-287) corresponds to the batched Jacobian+likelihood
-evaluation here (and its Pallas kernel form in slam_tpu.ops.pallas).
+All 3x3 algebra is packed-symmetric plane arithmetic
+(slam_tpu.ops.planes) over the trailing particle axis — no batched
+linalg calls, no [P, 3, 3] layouts. The K-observation refinement loop is
+a masked ``lax.fori_loop`` (static bound = max_obs), so one compiled
+program serves every tick. The reference's MULTIPARTICLE_ACCELERATOR
+FPGA batch (fastslam2.cpp:168-287) corresponds to the batched
+Jacobian+likelihood evaluation here.
 
-A unified-path observation: with zero matched features the refinement loop
-is an identity, so "sample from N(xv, Pv)" (the reference's new-only
-branch, fastslam2.cpp:36-42) and the prior/proposal weight terms (which
-cancel exactly) fall out of the same code path — no branching program.
+A unified-path observation: with zero matched features the refinement
+loop is an identity, so "sample from N(xv, Pv)" (the reference's
+new-only branch, fastslam2.cpp:36-42) and the prior/proposal weight
+terms (which cancel exactly) fall out of the same code path.
 """
 
 from __future__ import annotations
@@ -39,12 +42,13 @@ import jax.numpy as jnp
 from slam_tpu.config import SlamConfig
 from slam_tpu.geometry import wrap_angle
 from slam_tpu.models import rbpf
-from slam_tpu.models.particles import ParticleState, estimate_position, init_particles
-from slam_tpu.ops.gauss import log_gauss_2x2, log_gauss_3x3
-from slam_tpu.ops.jacobians import compute_jacobians
-from slam_tpu.ops.kalman import inv_2x2
+from slam_tpu.models.particles import (
+    ParticleState,
+    estimate_position,
+    init_particles,
+)
+from slam_tpu.ops import planes as pk
 
-_HIGHEST = jax.lax.Precision.HIGHEST
 _PV_JITTER = 1e-9
 
 
@@ -52,130 +56,145 @@ def fs2_predict(state: ParticleState, key, vn, gn, Q,
                 *, wheelbase: float, dt: float, add_noise: bool
                 ) -> ParticleState:
     """Propagate poses and pose covariances (FastSLAM2::predictState,
-    fastslam2.cpp:70-105). Control noise sampling is gated by
+    fastslam2.cpp:70-105), packed-symmetric expansion of
+    Pv <- Gv Pv Gv' + Gu Q Gu'. Control-noise sampling is gated by
     SWITCH_PREDICT_NOISE (fastslam2wrapper.cpp:18)."""
     V, G = rbpf.sample_controls(key, vn, gn, Q, state.n_particles,
                                 add_noise)
-    theta = state.xv[:, 2]
-    s, c = jnp.sin(G + theta), jnp.cos(G + theta)
-    vts, vtc = V * dt * s, V * dt * c
+    theta = state.xv[2]
+    sgt, cgt = jnp.sin(G + theta), jnp.cos(G + theta)
+    al = -V * dt * sgt          # Gv[0,2]
+    be = V * dt * cgt           # Gv[1,2]
 
-    P = state.n_particles
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=state.Pv.dtype), (P, 3, 3))
-    Gv = eye.at[:, 0, 2].set(-vts).at[:, 1, 2].set(vtc)
-    sg, cg = jnp.sin(G), jnp.cos(G)
-    Gu = jnp.stack([
-        jnp.stack([dt * c, -vts], -1),
-        jnp.stack([dt * s, vtc], -1),
-        jnp.stack([dt * sg / wheelbase, V * dt * cg / wheelbase], -1),
-    ], -2)                                                   # [P, 3, 2]
+    a, b, c, d, e, f = state.Pv
+    # Gv Pv Gv' with Gv = I + al*e0 e2' + be*e1 e2'.
+    n00 = a + 2.0 * al * c + al * al * f
+    n01 = b + al * e + be * c + al * be * f
+    n02 = c + al * f
+    n11 = d + 2.0 * be * e + be * be * f
+    n12 = e + be * f
+    n22 = f
+
+    # + Gu Q Gu', Gu rows g0=(dt cgt, al), g1=(dt sgt, be),
+    # g2=(dt sin(G)/WB, V dt cos(G)/WB)  (fastslam2.cpp:74-77).
     Qm = jnp.asarray(Q, state.Pv.dtype)
-    Pv = Gv @ state.Pv @ jnp.swapaxes(Gv, -1, -2) \
-        + Gu @ Qm @ jnp.swapaxes(Gu, -1, -2)
+    q00, q01, q11 = Qm[0, 0], Qm[0, 1], Qm[1, 1]
+    g00, g01 = dt * cgt, al
+    g10, g11 = dt * sgt, be
+    g20 = dt * jnp.sin(G) / wheelbase
+    g21 = V * dt * jnp.cos(G) / wheelbase
+
+    def gq(gi0, gi1, gj0, gj1):
+        return (gi0 * (q00 * gj0 + q01 * gj1)
+                + gi1 * (q01 * gj0 + q11 * gj1))
+
+    Pv = jnp.stack([
+        n00 + gq(g00, g01, g00, g01),
+        n01 + gq(g00, g01, g10, g11),
+        n02 + gq(g00, g01, g20, g21),
+        n11 + gq(g10, g11, g10, g11),
+        n12 + gq(g10, g11, g20, g21),
+        n22 + gq(g20, g21, g20, g21),
+    ])
 
     xv = rbpf.propagate_poses(state.xv, V, G, wheelbase, dt)
     return state._replace(xv=xv, Pv=Pv)
 
 
-def _refine_proposal(xv, Pv, lm, lm_P, z, slot, matched, R):
+def _refine_proposal(state: ParticleState, z, slot, matched, R):
     """Sequential per-feature Gaussian proposal refinement, batched over
-    particles (sampleProposal core loop, fastslam2.cpp:321-357)."""
+    particles (sampleProposal core loop, fastslam2.cpp:321-357).
+    Returns (xv_r [3, P], Pv_r (6-tuple of [P] planes))."""
+    r00, r01, r11 = R[0, 0], R[0, 1], R[1, 1]
     K = z.shape[0]
-    R = jnp.asarray(R, xv.dtype)
-    eye3 = jnp.eye(3, dtype=xv.dtype)
 
     def body(k, carry):
-        xv_c, Pv_c = carry
+        xv, Pv = carry
         s = slot[k]
-        xf = lm[:, s]                                         # [P, 2]
-        Pf = lm_P[:, s]                                       # [P, 2, 2]
-        zp, Hv, _, Sf = compute_jacobians(xv_c, xf, Pf, R)
-        Sfi = inv_2x2(0.5 * (Sf + jnp.swapaxes(Sf, -1, -2)))
-        HtSi = jnp.einsum("pba,pbc->pac", Hv, Sfi,
-                          precision=_HIGHEST)                 # [P, 3, 2]
-        info = jnp.einsum("pac,pcb->pab", HtSi, Hv,
-                          precision=_HIGHEST)                 # [P, 3, 3]
-        Pv_inv = jnp.linalg.inv(Pv_c + _PV_JITTER * eye3)
-        Pv_new = jnp.linalg.inv(info + Pv_inv)
-        Pv_new = 0.5 * (Pv_new + jnp.swapaxes(Pv_new, -1, -2))
+        J = pk.jacobians_planes(
+            xv[0], xv[1], xv[2],
+            state.lm[0, s], state.lm[1, s],
+            state.lm_P[0, s], state.lm_P[1, s], state.lm_P[2, s],
+            r00, r01, r11)
+        v0 = z[k, 0] - J.zr
+        v1 = wrap_angle(z[k, 1] - J.zb)
 
-        v = z[k][None, :] - zp
-        v = v.at[:, 1].set(wrap_angle(v[:, 1]))
-        dx = jnp.einsum("pab,pbc,pc->pa", Pv_new, HtSi, v,
-                        precision=_HIGHEST)
-        xv_new = xv_c + dx
-        xv_new = xv_new.at[:, 2].set(wrap_angle(xv_new[:, 2]))
+        info, hsv = pk.hv_info_planes(J, v0, v1)
+        Pv_t = tuple(Pv)
+        Pv_new = pk.sym3_inv(pk.sym3_add(info, pk.sym3_inv(Pv_t,
+                                                           _PV_JITTER)),
+                             0.0)
+        dx0, dx1, dx2 = pk.sym3_mul_vec(Pv_new, *hsv)
+        xv_new = jnp.stack([xv[0] + dx0, xv[1] + dx1,
+                            wrap_angle(xv[2] + dx2)])
 
         keep = matched[k]
-        return (jnp.where(keep, xv_new, xv_c),
-                jnp.where(keep, Pv_new, Pv_c))
+        Pv_out = jnp.stack([jnp.where(keep, n, o)
+                            for n, o in zip(Pv_new, Pv_t)])
+        return jnp.where(keep, xv_new, xv), Pv_out
 
-    return jax.lax.fori_loop(0, K, body, (xv, Pv))
+    xv_r, Pv_r = jax.lax.fori_loop(0, K, body, (state.xv, state.Pv))
+    return xv_r, Pv_r
 
 
-def _log_likelihood_given_pose(pose, lm, lm_P, z, slot, matched, R):
-    """Sum over matched obs of log N(v; 0, Hf Pf Hf' + R) at the given
-    poses (likelihoodGivenXv, fastslam2.cpp:370-400), batched [P, K]."""
-    xf = jnp.take_along_axis(lm, slot[None, :, None], axis=1)
-    Pf = jnp.take_along_axis(lm_P, slot[None, :, None, None], axis=1)
-    zp, _, _, Sf = compute_jacobians(pose[:, None, :], xf, Pf,
-                                     jnp.asarray(R, pose.dtype))
-    v = z[None, :, :] - zp
-    v = v.at[..., 1].set(wrap_angle(v[..., 1]))
-    logl = jnp.where(matched[None, :], log_gauss_2x2(v, Sf), 0.0)
-    return jnp.sum(logl, axis=1)
+def _log_likelihood_at(state: ParticleState, xvs, z, slot, matched, R):
+    """Sum over matched obs of log N(v; 0, Hf Pf Hf' + R) at poses
+    ``xvs`` (likelihoodGivenXv, fastslam2.cpp:370-400), [K, P] planes."""
+    lmx, lmy, p00, p01, p11 = rbpf.gather_landmarks(state, slot)
+    J = pk.jacobians_planes(xvs[0][None, :], xvs[1][None, :],
+                            xvs[2][None, :], lmx, lmy, p00, p01, p11,
+                            R[0, 0], R[0, 1], R[1, 1])
+    v0 = z[:, 0][:, None] - J.zr
+    v1 = wrap_angle(z[:, 1][:, None] - J.zb)
+    logl = jnp.where(matched[:, None],
+                     pk.log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11),
+                     0.0)
+    return jnp.sum(logl, axis=0)
 
 
 def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
                *, do_resample: bool = True,
                resample_fn=None) -> ParticleState:
     """Proposal sampling, weighting, map update, resampling
-    (FastSLAM2::update, fastslam2.cpp:21-48).
-
-    ``resample_fn(state, key, n_min)``: override for the sharded
-    collective resampler (slam_tpu.parallel)."""
+    (FastSLAM2::update, fastslam2.cpp:21-48)."""
     assoc, is_new = rbpf.associate_known(state, ids, zmask)
     matched = assoc >= 0
     slot = jnp.where(matched, assoc, 0)
     any_obs = jnp.any(zmask)
 
     xv0, Pv0 = state.xv, state.Pv
-    xv_r, Pv_r = _refine_proposal(xv0, Pv0, state.lm, state.lm_P,
-                                  z, slot, matched, R)
+    xv_r, Pv_r = _refine_proposal(state, z, slot, matched, R)
+    Pv_r_t = tuple(Pv_r)
 
     # Sample the proposal (multivariateGauss, fastslam2.cpp:353).
     key, sub = jax.random.split(key)
-    eye3 = jnp.eye(3, dtype=xv_r.dtype)
-    Lch = jnp.linalg.cholesky(Pv_r + _PV_JITTER * eye3)
-    eps = jax.random.normal(sub, xv_r.shape, dtype=xv_r.dtype)
-    xvs = xv_r + (Lch @ eps[..., None])[..., 0]
-    xvs = xvs.at[:, 2].set(wrap_angle(xvs[:, 2]))
+    Lch = pk.sym3_chol(Pv_r_t, _PV_JITTER)
+    eps = jax.random.normal(sub, (3, state.n_particles),
+                            dtype=xv_r.dtype)
+    s0, s1, s2 = pk.chol3_mul_vec(Lch, eps[0], eps[1], eps[2])
+    xvs = jnp.stack([xv_r[0] + s0, xv_r[1] + s1,
+                     wrap_angle(xv_r[2] + s2)])
     xvs = jnp.where(any_obs, xvs, xv0)
 
-    # Importance weight: likelihood * prior / proposal, in log space
+    # Importance weight: likelihood * prior / proposal, log-space
     # (fastslam2.cpp:359-367).
-    log_lik = _log_likelihood_given_pose(xvs, state.lm, state.lm_P,
-                                         z, slot, matched, R)
-    dp = xv0 - xvs
-    dp = dp.at[:, 2].set(wrap_angle(dp[:, 2]))
-    log_prior = log_gauss_3x3(dp, Pv0 + _PV_JITTER * eye3)
-    dq = xv_r - xvs
-    dq = dq.at[:, 2].set(wrap_angle(dq[:, 2]))
-    log_prop = log_gauss_3x3(dq, Pv_r + _PV_JITTER * eye3)
+    log_lik = _log_likelihood_at(state, xvs, z, slot, matched, R)
+    dp2 = wrap_angle(xv0[2] - xvs[2])
+    log_prior = pk.log_gauss3_planes(tuple(Pv0), xv0[0] - xvs[0],
+                                     xv0[1] - xvs[1], dp2, _PV_JITTER)
+    dq2 = wrap_angle(xv_r[2] - xvs[2])
+    log_prop = pk.log_gauss3_planes(Pv_r_t, xv_r[0] - xvs[0],
+                                    xv_r[1] - xvs[1], dq2, _PV_JITTER)
     dlogw = jnp.where(any_obs, log_lik + log_prior - log_prop, 0.0)
     state = state._replace(
         logw=state.logw + dlogw,
         xv=xvs,
-        Pv=jnp.where(any_obs, jnp.zeros_like(Pv0), Pv0),
+        Pv=jnp.where(any_obs, jnp.zeros_like(state.Pv), Pv0),
     )
 
     # Map update at the sampled pose (featureUpdate + addFeature).
-    xf = jnp.take_along_axis(state.lm, slot[None, :, None], axis=1)
-    Pf = jnp.take_along_axis(state.lm_P, slot[None, :, None, None], axis=1)
-    zp, _, Hf, _ = compute_jacobians(state.xv[:, None, :], xf, Pf,
-                                     jnp.asarray(R, state.lm.dtype))
-    state = rbpf.update_matched_features(state, z, assoc, R, zp, Hf,
-                                         matched)
+    J, v0, v1 = rbpf.observe_planes(state, z, slot, R)
+    state = rbpf.update_matched_features(state, slot, matched, v0, v1, J)
     state = rbpf.add_new_features(state, z, ids, is_new, R)
     if resample_fn is not None:
         return resample_fn(state, key, n_min)
@@ -185,7 +204,8 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
 class FastSlam2:
     """Config-bound FastSLAM 2.0 with jitted step functions."""
 
-    def __init__(self, config: SlamConfig, n_map_landmarks: int):
+    def __init__(self, config: SlamConfig, n_map_landmarks: int,
+                 use_pallas: bool | None = None):
         self.config = config
         self.n_map = n_map_landmarks
         self.capacity = config.max_landmarks or n_map_landmarks
@@ -222,7 +242,7 @@ class FastSlam2:
                             jnp.diag(jnp.asarray(cfg.Re, jnp.float32)),
                             jnp.float32(n_min))
 
-    def pose(self, state) -> "jnp.ndarray":
+    def pose(self, state) -> jnp.ndarray:
         """Estimated pose from the particle cloud
         (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119)."""
         return estimate_position(state)

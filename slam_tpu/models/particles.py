@@ -1,16 +1,29 @@
-"""Struct-of-arrays particle state shared by FastSLAM 1 and 2.
+"""Struct-of-planes particle state shared by FastSLAM 1 and 2.
 
 The reference keeps a ``vector<Particle>`` of objects, each with
 dynamically-growing per-landmark Eigen vectors (Particle.h:44-50,
 Particle.cpp:61-73) and walks them in sequential loops. Here the particle
-set is one pytree of fixed-capacity arrays — the particle axis vmaps on a
-single chip and shards across a device mesh (slam_tpu.parallel); landmark
-growth is a masked write at a shared slot (the reference uses *known*
-association for both FastSLAM variants — fastslam1wrapper.cpp:76-79,
-fastslam2wrapper.cpp:86 — so all particles share one id->slot table).
+set is one pytree of fixed-capacity arrays with the PARTICLE AXIS LAST and
+small-matrix components unpacked into planes:
 
-Weights are log-space: the reference's linear weights
-(fastslam1.cpp:108-117) underflow far below the 1M-particle target.
+    logw [P]          log weights (the reference's linear weights,
+                      fastslam1.cpp:108-117, underflow at 1M particles)
+    xv   [3, P]       poses (x, y, theta)
+    Pv   [6, P]       pose covariance, packed symmetric
+                      (00, 01, 02, 11, 12, 22)
+    lm   [2, L, P]    landmark means (x-plane, y-plane)
+    lm_P [3, L, P]    landmark covariances, packed symmetric (00, 01, 11)
+
+Why planes and particle-last: TPU memory is tiled (sublane x 128-lane);
+an array shaped [P, L, 2, 2] stores its trailing 2x2 in a (2, 128) tile —
+a 64x padding blowout (observed: a 560 MB covariance array allocating
+35.8 GB). With P on the lane axis every plane tiles densely, elementwise
+particle math is perfectly VPU-shaped, and the Pallas kernels
+(slam_tpu.ops.pallas) consume the planes with zero layout conversion.
+
+Landmark growth is a masked write at a shared slot: the reference uses
+*known* association for both FastSLAM variants (fastslam1wrapper.cpp:76-79,
+fastslam2wrapper.cpp:86), so all particles share one id->slot table.
 """
 
 from __future__ import annotations
@@ -20,21 +33,24 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# Packed-symmetric index maps.
+SYM3 = {(0, 0): 0, (0, 1): 1, (0, 2): 2,
+        (1, 0): 1, (1, 1): 3, (1, 2): 4,
+        (2, 0): 2, (2, 1): 4, (2, 2): 5}
+SYM2 = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 2}
+
 
 class ParticleState(NamedTuple):
-    """Fixed-capacity Rao-Blackwellized particle set.
+    """Fixed-capacity Rao-Blackwellized particle set (planes layout).
 
-    ``logw``: [P] log weights. ``xv``: [P, 3] poses. ``Pv``: [P, 3, 3] pose
-    covariances (FastSLAM2 proposal; zeros for FastSLAM1). ``lm``:
-    [P, L, 2] landmark means. ``lm_P``: [P, L, 2, 2] landmark covariances.
     ``n``: scalar int32 live landmark count (shared across particles under
     known association). ``da_table``: [n_map] int32 id -> slot, -1 unseen.
     """
-    logw: jnp.ndarray
-    xv: jnp.ndarray
-    Pv: jnp.ndarray
-    lm: jnp.ndarray
-    lm_P: jnp.ndarray
+    logw: jnp.ndarray   # [P]
+    xv: jnp.ndarray     # [3, P]
+    Pv: jnp.ndarray     # [6, P] packed symmetric 3x3
+    lm: jnp.ndarray     # [2, L, P]
+    lm_P: jnp.ndarray   # [3, L, P] packed symmetric 2x2
     n: jnp.ndarray
     da_table: jnp.ndarray
 
@@ -58,10 +74,10 @@ def init_particles(n_particles: int, capacity: int, n_map_landmarks: int,
     P = n_particles
     return ParticleState(
         logw=jnp.full((P,), -jnp.log(float(P)), dtype=dtype),
-        xv=jnp.zeros((P, 3), dtype=dtype),
-        Pv=jnp.zeros((P, 3, 3), dtype=dtype),
-        lm=jnp.zeros((P, capacity, 2), dtype=dtype),
-        lm_P=jnp.zeros((P, capacity, 2, 2), dtype=dtype),
+        xv=jnp.zeros((3, P), dtype=dtype),
+        Pv=jnp.zeros((6, P), dtype=dtype),
+        lm=jnp.zeros((2, capacity, P), dtype=dtype),
+        lm_P=jnp.zeros((3, capacity, P), dtype=dtype),
         n=jnp.int32(0),
         da_table=jnp.full((n_map_landmarks,), -1, dtype=jnp.int32),
     )
@@ -69,25 +85,54 @@ def init_particles(n_particles: int, capacity: int, n_map_landmarks: int,
 
 def estimate_position(state: ParticleState) -> jnp.ndarray:
     """Pose estimate: weighted mean x/y + heading of the max-weight
-    particle — the reference's default estimator uses the unweighted mean
-    over x/y (ParticleSLAMWrapper::computeEstimatedPosition,
-    ParticleSLAMWrapper.cpp:56-119); we use the weighted mean, which
-    coincides right after resampling and is strictly more consistent
-    between resamples. Heading comes from the max-weight particle, as in
-    the reference."""
+    particle. The reference's default uses the unweighted mean
+    (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119); the
+    weighted mean coincides right after resampling and is strictly more
+    consistent between resamples. Heading from the max-weight particle,
+    as in the reference."""
     w = jax.nn.softmax(state.logw)
-    xy = jnp.sum(w[:, None] * state.xv[:, :2], axis=0)
-    theta = state.xv[jnp.argmax(state.logw), 2]
+    xy = jnp.sum(w[None, :] * state.xv[:2], axis=-1)
+    theta = state.xv[2, jnp.argmax(state.logw)]
     return jnp.concatenate([xy, theta[None]])
 
 
 def gather_particles(state: ParticleState, idx) -> ParticleState:
     """Reindex the per-particle arrays by ancestor indices (the
-    copy-and-keep step of resampleParticles, core.cpp:736-748)."""
+    copy-and-keep step of resampleParticles, core.cpp:736-748). ``idx``
+    indexes the trailing particle axis."""
     return state._replace(
         logw=state.logw[idx],
-        xv=state.xv[idx],
-        Pv=state.Pv[idx],
-        lm=state.lm[idx],
-        lm_P=state.lm_P[idx],
+        xv=state.xv[:, idx],
+        Pv=state.Pv[:, idx],
+        lm=state.lm[:, :, idx],
+        lm_P=state.lm_P[:, :, idx],
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing helpers (tests, telemetry, interop with the stacked-matrix ops)
+# ---------------------------------------------------------------------------
+
+def pack_sym2(M):
+    """[..., 2, 2] symmetric -> planes (m00, m01, m11) stacked on axis 0."""
+    return jnp.stack([M[..., 0, 0], M[..., 0, 1], M[..., 1, 1]])
+
+
+def unpack_sym2(p, axis: int = 0):
+    """Planes (3, ...) -> [..., 2, 2] symmetric."""
+    m00, m01, m11 = jnp.moveaxis(p, axis, 0)
+    return jnp.stack([jnp.stack([m00, m01], -1),
+                      jnp.stack([m01, m11], -1)], -2)
+
+
+def pack_sym3(M):
+    """[..., 3, 3] symmetric -> planes (6, ...) in SYM3 order."""
+    return jnp.stack([M[..., 0, 0], M[..., 0, 1], M[..., 0, 2],
+                      M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]])
+
+
+def unpack_sym3(p, axis: int = 0):
+    a, b, c, d, e, f = jnp.moveaxis(p, axis, 0)
+    return jnp.stack([jnp.stack([a, b, c], -1),
+                      jnp.stack([b, d, e], -1),
+                      jnp.stack([c, e, f], -1)], -2)

@@ -1,10 +1,11 @@
-"""Shared Rao-Blackwellized particle filter building blocks.
+"""Shared Rao-Blackwellized particle filter building blocks (plane form).
 
 Used by both FastSLAM 1 (slam_tpu.models.fastslam1) and FastSLAM 2
-(slam_tpu.models.fastslam2). Everything operates on the whole particle set
-at once — the reference's per-particle for-loops (fastslam1.cpp:21-32,
-fastslam2.cpp:26-45) become batched array ops over the [P] axis, which
-vmap/shard_map then distribute.
+(slam_tpu.models.fastslam2). The reference's per-particle for-loops
+(fastslam1.cpp:21-32, fastslam2.cpp:26-45) become batched plane arithmetic
+over the trailing particle axis (TPU lanes) — see
+slam_tpu.models.particles for the layout rationale — which vmap-free XLA
+fuses into a few VPU loops and shard_map distributes.
 """
 
 from __future__ import annotations
@@ -14,25 +15,26 @@ import jax.numpy as jnp
 
 from slam_tpu.geometry import wrap_angle
 from slam_tpu.models.particles import ParticleState, gather_particles
-from slam_tpu.ops.kalman import add_feature_init, feature_update_2x2
+from slam_tpu.ops import planes as pk
 from slam_tpu.ops.resampling import resample_particles
 
 
 def sample_controls(key, vn, gn, Q, n_particles: int, add_noise):
     """Per-particle control sample ~ N((vn, gn), Q) (the multivariateGauss
     draw in predictState, fastslam1.cpp:37-54). Q is diagonal in every
-    shipped config; we use the general 2x2 Cholesky anyway."""
+    shipped config; the general 2x2 Cholesky costs nothing extra."""
     Q = jnp.asarray(Q, jnp.float32)
     L = jnp.linalg.cholesky(Q + 1e-20 * jnp.eye(2, dtype=Q.dtype))
-    eps = jax.random.normal(key, (n_particles, 2), dtype=Q.dtype)
-    noise = (L @ eps[..., None])[..., 0]
-    noise = jnp.where(jnp.asarray(add_noise), noise, 0.0)
-    return vn + noise[:, 0], gn + noise[:, 1]
+    eps = jax.random.normal(key, (2, n_particles), dtype=Q.dtype)
+    n0 = L[0, 0] * eps[0]
+    n1 = L[1, 0] * eps[0] + L[1, 1] * eps[1]
+    on = jnp.asarray(add_noise, Q.dtype)
+    return vn + on * n0, gn + on * n1
 
 
 def propagate_poses(xv, V, G, wheelbase: float, dt: float):
     """Batched bicycle step over particles (predictState,
-    fastslam1.cpp:37-54 / fastslam2.cpp:70-105).
+    fastslam1.cpp:37-54 / fastslam2.cpp:70-105). ``xv``: [3, P].
 
     DESIGN DECISION (SURVEY.md §7 hard-part d): the reference's particle
     predict uses ``sin(G / wheelBase)`` (fastslam1.cpp:52,
@@ -41,70 +43,88 @@ def propagate_poses(xv, V, G, wheelbase: float, dt: float):
     the correct form everywhere: the estimator's motion model then matches
     the simulator's, which can only improve ATE.
     """
-    theta = xv[:, 2]
+    theta = xv[2]
     return jnp.stack([
-        xv[:, 0] + V * dt * jnp.cos(G + theta),
-        xv[:, 1] + V * dt * jnp.sin(G + theta),
+        xv[0] + V * dt * jnp.cos(G + theta),
+        xv[1] + V * dt * jnp.sin(G + theta),
         wrap_angle(theta + V * dt * jnp.sin(G) / wheelbase),
-    ], axis=-1)
+    ])
 
 
 def observe_heading_particles(state: ParticleState, phi, sigma_phi
                               ) -> ParticleState:
     """Per-particle scalar heading Joseph update on (xv, Pv)
-    (fastslam1.cpp:74-86; no-op while Pv == 0, exactly like the
-    reference)."""
+    (fastslam1.cpp:74-86; a no-op while Pv == 0, exactly like the
+    reference). Packed-symmetric Joseph form, fully expanded."""
     r = sigma_phi * sigma_phi
-    PHt = state.Pv[:, :, 2]                                   # [P, 3]
-    s = state.Pv[:, 2, 2] + r                                 # [P]
-    W = PHt / s[:, None]                                      # [P, 3]
-    v = wrap_angle(phi - state.xv[:, 2])                      # [P]
-    xv = state.xv + W * v[:, None]
-    # Joseph: (I - W H) P (I - W H)^T + r W W^T with H = e3.
-    C = jnp.broadcast_to(jnp.eye(3, dtype=state.Pv.dtype),
-                         state.Pv.shape) - W[:, :, None] * _E3
-    Pv = C @ state.Pv @ jnp.swapaxes(C, -1, -2) \
-        + r * W[:, :, None] * W[:, None, :]
-    xv = xv.at[:, 2].set(wrap_angle(xv[:, 2]))
+    a, b, c, d, e, f = state.Pv
+    s = f + r
+    k0, k1, k2 = c / s, e / s, f / s
+    v = wrap_angle(phi - state.xv[2])
+
+    xv = jnp.stack([state.xv[0] + k0 * v,
+                    state.xv[1] + k1 * v,
+                    wrap_angle(state.xv[2] + k2 * v)])
+
+    # P' = (I - K e3') P (I - K e3')' + r K K'.
+    q2 = 1.0 - k2
+    Pv = jnp.stack([
+        a - 2.0 * k0 * c + k0 * k0 * f + r * k0 * k0,
+        b - k0 * e - k1 * c + k0 * k1 * f + r * k0 * k1,
+        q2 * (c - k0 * f) + r * k0 * k2,
+        d - 2.0 * k1 * e + k1 * k1 * f + r * k1 * k1,
+        q2 * (e - k1 * f) + r * k1 * k2,
+        q2 * q2 * f + r * k2 * k2,
+    ])
     return state._replace(xv=xv, Pv=Pv)
-
-
-_E3 = jnp.array([[0.0, 0.0, 1.0]], dtype=jnp.float32)
 
 
 def associate_known(state: ParticleState, ids, zmask):
     """Shared id-table association (core.cpp:91-120): returns
-    (slot [K] int32 with -1 for unmatched, is_new [K] bool)."""
+    (assoc [K] int32 with -1 for unmatched, is_new [K] bool)."""
     slot = state.da_table[jnp.clip(ids, 0, state.da_table.shape[0] - 1)]
     assoc = jnp.where(zmask & (slot >= 0), slot, -1)
     is_new = zmask & (slot < 0)
     return assoc, is_new
 
 
-def update_matched_features(state: ParticleState, z, assoc, R,
-                            zp, Hf, mask) -> ParticleState:
-    """Per-landmark 2x2 EKF updates for all (particle, matched-obs) pairs
-    in one batch, then masked scatter back (featureUpdate,
-    core.cpp:132-175).
+def gather_landmarks(state: ParticleState, slot):
+    """Gather [K]-indexed landmark planes: returns (lmx, lmy, p00, p01,
+    p11), each [K, P]."""
+    lm = state.lm[:, slot, :]      # [2, K, P]
+    lm_P = state.lm_P[:, slot, :]  # [3, K, P]
+    return lm[0], lm[1], lm_P[0], lm_P[1], lm_P[2]
 
-    ``zp``/``Hf``: [P, K, ...] predicted observations and Jacobians
-    evaluated at each particle's pose; ``mask``: [K] matched mask.
+
+def observe_planes(state: ParticleState, z, slot, R):
+    """Jacobian planes + wrapped innovations at each particle's pose for
+    each (gathered) observation slot. Returns (J, v0 [K,P], v1 [K,P])."""
+    lmx, lmy, p00, p01, p11 = gather_landmarks(state, slot)
+    r00, r01, r11 = R[0, 0], R[0, 1], R[1, 1]
+    J = pk.jacobians_planes(state.xv[0][None, :], state.xv[1][None, :],
+                            state.xv[2][None, :],
+                            lmx, lmy, p00, p01, p11, r00, r01, r11)
+    v0 = z[:, 0][:, None] - J.zr
+    v1 = wrap_angle(z[:, 1][:, None] - J.zb)
+    return J, v0, v1
+
+
+def update_matched_features(state: ParticleState, slot, matched,
+                            v0, v1, J) -> ParticleState:
+    """Per-landmark 2x2 EKF updates for all (particle, matched-obs) pairs,
+    then masked scatter back (featureUpdate, core.cpp:132-175).
+
+    ``slot``/``matched``: [K]; ``v0``/``v1``/``J`` planes: [K, P].
     """
-    slot = jnp.where(mask, assoc, 0)
-    v = z[None, :, :] - zp
-    v = v.at[..., 1].set(wrap_angle(v[..., 1]))
+    lmx, lmy, p00, p01, p11 = gather_landmarks(state, slot)
+    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
 
-    xf = jnp.take_along_axis(state.lm, slot[None, :, None], axis=1)
-    Pf = jnp.take_along_axis(
-        state.lm_P, slot[None, :, None, None], axis=1)
-    xf_new, Pf_new = feature_update_2x2(xf, Pf, v, jnp.asarray(R), Hf)
-
-    # Masked scatter: unmatched slots write out of bounds and are dropped.
     L = state.capacity
-    tgt = jnp.where(mask, slot, L)
-    parr = jnp.arange(state.n_particles)[:, None]
-    lm = state.lm.at[parr, tgt[None, :]].set(xf_new, mode="drop")
-    lm_P = state.lm_P.at[parr, tgt[None, :]].set(Pf_new, mode="drop")
+    tgt = jnp.where(matched, slot, L)     # OOB -> dropped
+    lm = state.lm.at[:, tgt, :].set(
+        jnp.stack([upd.nx, upd.ny]), mode="drop")
+    lm_P = state.lm_P.at[:, tgt, :].set(
+        jnp.stack([upd.np00, upd.np01, upd.np11]), mode="drop")
     return state._replace(lm=lm, lm_P=lm_P)
 
 
@@ -112,7 +132,6 @@ def add_new_features(state: ParticleState, z, ids, is_new, R
                      ) -> ParticleState:
     """Initialize new landmarks at shared slots for every particle from
     its own pose (addFeature, core.cpp:479-509)."""
-    K = z.shape[0]
     L = state.capacity
     R = jnp.asarray(R, state.lm.dtype)
 
@@ -121,14 +140,15 @@ def add_new_features(state: ParticleState, z, ids, is_new, R
     ok = is_new & (slot < L)
     tgt = jnp.where(ok, slot, L)                              # [K]
 
-    # Per-particle initialization: [P, K, ...].
-    zb = jnp.broadcast_to(z[None, :, :], (state.n_particles, K, 2))
-    xf, Gz = add_feature_init(state.xv[:, None, :], zb)
-    Pf = Gz @ R @ jnp.swapaxes(Gz, -1, -2)
+    nx, ny, p00, p01, p11 = pk.feature_init_planes(
+        state.xv[0][None, :], state.xv[1][None, :],
+        state.xv[2][None, :],
+        z[:, 0][:, None], z[:, 1][:, None],
+        R[0, 0], R[0, 1], R[1, 1])                            # [K, P]
 
-    parr = jnp.arange(state.n_particles)[:, None]
-    lm = state.lm.at[parr, tgt[None, :]].set(xf, mode="drop")
-    lm_P = state.lm_P.at[parr, tgt[None, :]].set(Pf, mode="drop")
+    lm = state.lm.at[:, tgt, :].set(jnp.stack([nx, ny]), mode="drop")
+    lm_P = state.lm_P.at[:, tgt, :].set(
+        jnp.stack([p00, p01, p11]), mode="drop")
 
     n = state.n + jnp.sum(ok, dtype=jnp.int32)
     table = state.da_table.at[

@@ -1,0 +1,199 @@
+"""Pallas TPU kernels: batched Jacobians and the fused FastSLAM
+observation update.
+
+TPU-native replacement for the reference's Vivado-HLS ``computeJacobians``
+accelerator (core.cpp:586-664, driven through AcceleratorHandler's mmap'd
+OCM): instead of marshalling floats into on-chip memory and busy-waiting
+on a start/done register, the particle planes already live in HBM in
+kernel layout ([K, P] with particles on lanes — slam_tpu.models.particles)
+and the kernel bodies call the *same* plane-math functions as the jnp path
+(slam_tpu.ops.planes), so golden equivalence is structural.
+
+The fused kernel (``fs1_observe_tpu``) computes, per particle x matched
+observation: Jacobians -> innovation -> Gaussian log-likelihood reduction
+-> per-landmark 2x2 EKF update, entirely VMEM-resident. Unfused, the
+chain would round-trip ~15 [K, P] intermediate planes through HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slam_tpu.geometry import wrap_angle
+from slam_tpu.ops import planes as pk
+
+LANE = 128
+DEFAULT_BLOCK = 2048
+
+
+def _pad_lanes(x, P_pad):
+    pad = P_pad - x.shape[-1]
+    if pad == 0:
+        return x
+    width = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, width)
+
+
+def _grid_block(P_pad, block):
+    b = min(block, P_pad)
+    return P_pad // b, b
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: standalone batched computeJacobians
+# ---------------------------------------------------------------------------
+
+def _jacobian_kernel(xv_ref, lmx_ref, lmy_ref, p00_ref, p01_ref,
+                     p11_ref, r_ref,
+                     zr_ref, zb_ref, hv00_ref, hv01_ref, hv10_ref,
+                     hv11_ref, a_ref, b_ref, c_ref, e_ref,
+                     s00_ref, s01_ref, s11_ref):
+    J = pk.jacobians_planes(
+        xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :],
+        lmx_ref[:, :], lmy_ref[:, :],
+        p00_ref[:, :], p01_ref[:, :], p11_ref[:, :],
+        r_ref[0, 0], r_ref[0, 1], r_ref[0, 2])
+    zr_ref[:, :] = J.zr
+    zb_ref[:, :] = J.zb
+    hv00_ref[:, :] = J.hv00
+    hv01_ref[:, :] = J.hv01
+    hv10_ref[:, :] = J.hv10
+    hv11_ref[:, :] = J.hv11
+    a_ref[:, :] = J.a
+    b_ref[:, :] = J.b
+    c_ref[:, :] = J.c
+    e_ref[:, :] = J.e
+    s00_ref[:, :] = J.s00
+    s01_ref[:, :] = J.s01
+    s11_ref[:, :] = J.s11
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def jacobians_tpu(xv, lmx, lmy, p00, p01, p11, R,
+                  block: int = DEFAULT_BLOCK, interpret: bool = False):
+    """Batched range-bearing Jacobians + innovation covariance.
+
+    Args: xv [3, P]; lmx/lmy/p00/p01/p11 [K, P] gathered landmark planes;
+    R [2, 2]. Returns a JacobianPlanes of [K, P] planes — the TPU analog
+    of the FPGA accelerator's zp/Hf/Hv/Sf output block (core.cpp:624-664).
+    """
+    K, P = lmx.shape
+    P_pad = -(-P // LANE) * LANE
+    args = [_pad_lanes(x, P_pad) for x in (xv, lmx, lmy, p00, p01, p11)]
+    r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
+                        xv.dtype).reshape(1, 3)
+
+    grid, b = _grid_block(P_pad, block)
+    plane = pl.BlockSpec((K, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((K, P_pad), xv.dtype)] * 13
+    outs = pl.pallas_call(
+        _jacobian_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane, plane,
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[plane] * 13,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args, r_row)
+    return pk.JacobianPlanes(*[o[:, :P] for o in outs])
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: fused observe (Jacobians + log-likelihood + 2x2 EKF update)
+# ---------------------------------------------------------------------------
+
+def _observe_kernel(xv_ref, lmx_ref, lmy_ref, p00_ref, p01_ref, p11_ref,
+                    z0_ref, z1_ref, mask_ref, r_ref,
+                    dlogw_ref, nx_ref, ny_ref, np00_ref, np01_ref,
+                    np11_ref):
+    lmx, lmy = lmx_ref[:, :], lmy_ref[:, :]
+    p00, p01, p11 = p00_ref[:, :], p01_ref[:, :], p11_ref[:, :]
+    J = pk.jacobians_planes(
+        xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :],
+        lmx, lmy, p00, p01, p11,
+        r_ref[0, 0], r_ref[0, 1], r_ref[0, 2])
+    # z/mask blocks are [K, LANE]; only column 0 carries data — slice to
+    # [K, 1] so they broadcast against the [K, block] planes.
+    v0 = z0_ref[:, 0:1] - J.zr
+    v1 = wrap_angle(z1_ref[:, 0:1] - J.zb)
+    mask = mask_ref[:, 0:1]
+
+    logl = pk.log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11)
+    dlogw_ref[:, :] = jnp.sum(logl * mask, axis=0, keepdims=True)
+
+    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
+    nx_ref[:, :] = jnp.where(mask > 0, upd.nx, lmx)
+    ny_ref[:, :] = jnp.where(mask > 0, upd.ny, lmy)
+    np00_ref[:, :] = jnp.where(mask > 0, upd.np00, p00)
+    np01_ref[:, :] = jnp.where(mask > 0, upd.np01, p01)
+    np11_ref[:, :] = jnp.where(mask > 0, upd.np11, p11)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _observe_call(xv, lmx, lmy, p00, p01, p11, z, matched, R,
+                  block: int = DEFAULT_BLOCK, interpret: bool = False):
+    K, P = lmx.shape
+    P_pad = -(-P // LANE) * LANE
+    args = [_pad_lanes(x, P_pad) for x in (xv, lmx, lmy, p00, p01, p11)]
+    z0 = jnp.broadcast_to(z[:, 0:1], (K, LANE)).astype(xv.dtype)
+    z1 = jnp.broadcast_to(z[:, 1:2], (K, LANE)).astype(xv.dtype)
+    mk = jnp.broadcast_to(matched[:, None].astype(xv.dtype), (K, LANE))
+    r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
+                        xv.dtype).reshape(1, 3)
+
+    grid, b = _grid_block(P_pad, block)
+    plane = pl.BlockSpec((K, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    kplane = pl.BlockSpec((K, LANE), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _observe_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane, plane,
+            kplane, kplane, kplane,
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, b), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)]
+        + [plane] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, P_pad), xv.dtype)]
+        + [jax.ShapeDtypeStruct((K, P_pad), xv.dtype)] * 5,
+        interpret=interpret,
+    )(*args, z0, z1, mk, r_row)
+    return [o[..., :P] for o in outs]
+
+
+def fs1_observe_tpu(state, z, slot, matched, R,
+                    block: int = DEFAULT_BLOCK, interpret: bool = False):
+    """Fused FastSLAM1 observation update on a ParticleState: gathers the
+    matched landmark planes, runs the fused kernel, scatters the updated
+    planes back and applies the weight delta. Semantically identical to
+    the unfused path in fs1_update (golden-tested in
+    tests/test_pallas.py)."""
+    from slam_tpu.models import rbpf
+    lmx, lmy, p00, p01, p11 = rbpf.gather_landmarks(state, slot)
+    dlogw, nx, ny, np00, np01, np11 = _observe_call(
+        state.xv, lmx, lmy, p00, p01, p11, z, matched,
+        jnp.asarray(R, state.xv.dtype), block=block, interpret=interpret)
+
+    L = state.capacity
+    tgt = jnp.where(matched, slot, L)
+    lm = state.lm.at[:, tgt, :].set(jnp.stack([nx, ny]), mode="drop")
+    lm_P = state.lm_P.at[:, tgt, :].set(
+        jnp.stack([np00, np01, np11]), mode="drop")
+    return state._replace(logw=state.logw + dlogw[0], lm=lm, lm_P=lm_P)

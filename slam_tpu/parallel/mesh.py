@@ -23,15 +23,16 @@ def make_mesh(n_devices: int | None = None, axis: str = PARTICLE_AXIS
 
 def particle_state_specs(axis: str = PARTICLE_AXIS):
     """PartitionSpecs for ParticleState fields: per-particle arrays are
-    sharded on their leading axis; the shared landmark-count and
-    association table are replicated."""
+    sharded on their TRAILING (lane) axis — see slam_tpu.models.particles
+    for the planes layout; the shared landmark-count and association
+    table are replicated."""
     from slam_tpu.models.particles import ParticleState
     return ParticleState(
         logw=P(axis),
-        xv=P(axis, None),
-        Pv=P(axis, None, None),
-        lm=P(axis, None, None),
-        lm_P=P(axis, None, None, None),
+        xv=P(None, axis),
+        Pv=P(None, axis),
+        lm=P(None, None, axis),
+        lm_P=P(None, None, axis),
         n=P(),
         da_table=P(),
     )

@@ -104,8 +104,9 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
         idx = jnp.searchsorted(visit_csum, u - visit_base, side="left")
         idx = jnp.clip(idx, 0, Pl - 1)
         for f in particle_fields:
-            picked = visit[f][idx]
-            mask = valid.reshape((Pl,) + (1,) * (picked.ndim - 1))
+            # Particle axis is the TRAILING axis of every field.
+            picked = visit[f][..., idx]
+            mask = valid.reshape((1,) * (picked.ndim - 1) + (Pl,))
             out[f] = jnp.where(mask, picked, out[f])
 
         # Rotate blocks around the ring.
@@ -119,9 +120,7 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
     updates = {}
     for f in particle_fields:
         orig = getattr(state, f)
-        mask_shape = (Pl,) + (1,) * (orig.ndim - 1)
-        updates[f] = jnp.where(jnp.broadcast_to(need, mask_shape),
-                               out[f], orig)
+        updates[f] = jnp.where(need, out[f], orig)
     new_state = state._replace(**updates)
 
     uniform = jnp.full_like(logw, -jnp.log(jnp.asarray(N, dtype)))
@@ -131,9 +130,9 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
 
 def sharded_estimate_position(logw, xv, axis: str):
     """Weighted-mean x/y + max-weight heading over the global particle
-    set (the sharded form of estimate_position)."""
+    set (the sharded form of estimate_position). ``xv``: [3, Pl]."""
     wn, _ = _normalized_weights(logw, axis)
-    xy = lax.psum(jnp.sum(wn[:, None] * xv[:, :2], axis=0), axis)
+    xy = lax.psum(jnp.sum(wn[None, :] * xv[:2], axis=-1), axis)
 
     local_best = jnp.argmax(logw)
     local_max = logw[local_best]
@@ -141,5 +140,5 @@ def sharded_estimate_position(logw, xv, axis: str):
     me = lax.axis_index(axis)
     S = lax.psum(1, axis)
     owner = lax.pmin(jnp.where(local_max == gmax, me, S), axis)
-    theta = lax.psum(jnp.where(me == owner, xv[local_best, 2], 0.0), axis)
+    theta = lax.psum(jnp.where(me == owner, xv[2, local_best], 0.0), axis)
     return jnp.concatenate([xy, theta[None]])

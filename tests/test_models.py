@@ -201,61 +201,107 @@ def test_ekf_augment_sequential_equivalence():
 
 def test_propagate_poses_matches_truth_model():
     from slam_tpu.sim.vehicle import predict_true_position
-    xv = jnp.asarray(np.random.default_rng(0).normal(size=(7, 3))
+    xv = jnp.asarray(np.random.default_rng(0).normal(size=(3, 7))
                      .astype(np.float32))
     V = jnp.full((7,), 3.0)
     G = jnp.full((7,), 0.2)
     out = rbpf.propagate_poses(xv, V, G, 4.0, 0.025)
     for i in range(7):
-        ref = predict_true_position(xv[i], 3.0, 0.2, 4.0, 0.025)
-        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
-                                   atol=1e-6)
+        ref = predict_true_position(xv[:, i], 3.0, 0.2, 4.0, 0.025)
+        np.testing.assert_allclose(np.asarray(out[:, i]),
+                                   np.asarray(ref), atol=1e-6)
 
 
 def test_add_new_features_shared_slots():
     state = init_particles(3, capacity=4, n_map_landmarks=6)
     # Put particles at different poses: features land at the same slot
     # but different positions.
-    xv = jnp.asarray(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]],
-                              np.float32))
+    xv = jnp.asarray(np.array([[0, 1, 0], [0, 0, 1], [0, 0, 0]],
+                              np.float32))  # [3, P] planes
     state = state._replace(xv=xv)
     z = jnp.asarray(np.array([[2.0, 0.0]], np.float32))
     s1 = rbpf.add_new_features(state, z, jnp.array([3], dtype=jnp.int32),
                                jnp.array([True]), R)
     assert int(s1.n) == 1
     assert int(s1.da_table[3]) == 0
-    np.testing.assert_allclose(np.asarray(s1.lm[0, 0]), [2.0, 0.0],
+    # Particle 0 at origin -> landmark (2, 0); particle 1 at (1, 0) ->
+    # landmark (3, 0).
+    np.testing.assert_allclose(np.asarray(s1.lm[:, 0, 0]), [2.0, 0.0],
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(s1.lm[1, 0]), [3.0, 0.0],
+    np.testing.assert_allclose(np.asarray(s1.lm[:, 0, 1]), [3.0, 0.0],
                                atol=1e-5)
 
 
 def test_update_matched_features_only_touches_matched():
     state = init_particles(2, capacity=3, n_map_landmarks=4)
-    lm = np.zeros((2, 3, 2), np.float32)
-    lm[:, 0] = [5.0, 0.0]
-    lm[:, 1] = [0.0, 5.0]
-    lm_P = np.tile(0.1 * np.eye(2, dtype=np.float32), (2, 3, 1, 1))
+    lm = np.zeros((2, 3, 2), np.float32)       # [2, L, P]
+    lm[0, 0, :] = 5.0                          # landmark 0 at (5, 0)
+    lm[1, 1, :] = 5.0                          # landmark 1 at (0, 5)
+    lm_P = np.zeros((3, 3, 2), np.float32)     # packed (00, 01, 11)
+    lm_P[0] = 0.1
+    lm_P[2] = 0.1
     state = state._replace(lm=jnp.asarray(lm), lm_P=jnp.asarray(lm_P),
                            n=jnp.int32(2))
     z = jnp.asarray(np.array([[5.0, 0.0]], np.float32))
-    assoc = jnp.array([0], dtype=jnp.int32)
-    from slam_tpu.ops.jacobians import compute_jacobians
-    zp, _, Hf, _ = compute_jacobians(
-        state.xv[:, None, :],
-        jnp.asarray(lm[:, :1]), jnp.asarray(lm_P[:, :1]), jnp.asarray(R))
-    s1 = rbpf.update_matched_features(state, z, assoc, R, zp, Hf,
-                                      jnp.array([True]))
+    slot = jnp.array([0], dtype=jnp.int32)
+    matched = jnp.array([True])
+    J, v0, v1 = rbpf.observe_planes(state, z, slot, jnp.asarray(R))
+    s1 = rbpf.update_matched_features(state, slot, matched, v0, v1, J)
     # Slot 1 untouched.
     np.testing.assert_allclose(np.asarray(s1.lm[:, 1]), lm[:, 1])
     np.testing.assert_allclose(np.asarray(s1.lm_P[:, 1]), lm_P[:, 1])
     # Slot 0 variance reduced.
-    assert float(s1.lm_P[0, 0, 0, 0]) < 0.1
+    assert float(s1.lm_P[0, 0, 0]) < 0.1
+
+
+def test_update_matched_features_matches_dense_2x2():
+    """Plane-form feature update == the dense stacked-matrix update
+    (feature_update_2x2), cross-checking the scalar expansion."""
+    from slam_tpu.ops.kalman import feature_update_2x2
+    rng = np.random.default_rng(5)
+    P = 6
+    state = init_particles(P, capacity=2, n_map_landmarks=2)
+    lmx = rng.normal(size=P).astype(np.float32) + 5
+    lmy = rng.normal(size=P).astype(np.float32) + 2
+    A = rng.normal(size=(P, 2, 2)).astype(np.float32) * 0.3
+    Pf = A @ np.swapaxes(A, -1, -2) + 0.05 * np.eye(2, dtype=np.float32)
+    lm = np.zeros((2, 2, P), np.float32)
+    lm[0, 0], lm[1, 0] = lmx, lmy
+    lm_P = np.zeros((3, 2, P), np.float32)
+    lm_P[0, 0] = Pf[:, 0, 0]
+    lm_P[1, 0] = Pf[:, 0, 1]
+    lm_P[2, 0] = Pf[:, 1, 1]
+    state = state._replace(lm=jnp.asarray(lm), lm_P=jnp.asarray(lm_P),
+                           n=jnp.int32(1))
+    z = jnp.asarray(np.array([[5.2, 0.1]], np.float32))
+    slot = jnp.array([0], dtype=jnp.int32)
+    J, v0, v1 = rbpf.observe_planes(state, z, slot, jnp.asarray(R))
+    s1 = rbpf.update_matched_features(state, slot, jnp.array([True]),
+                                      v0, v1, J)
+
+    # Dense reference per particle.
+    from slam_tpu.ops.jacobians import compute_jacobians
+    for i in range(P):
+        xv_i = np.zeros(3, np.float32)
+        xf = np.array([lmx[i], lmy[i]], np.float32)
+        zp, _, Hf, _ = compute_jacobians(jnp.asarray(xv_i),
+                                         jnp.asarray(xf),
+                                         jnp.asarray(Pf[i]),
+                                         jnp.asarray(R))
+        v = np.asarray(z[0]) - np.asarray(zp)
+        xf2, Pf2 = feature_update_2x2(jnp.asarray(xf), jnp.asarray(Pf[i]),
+                                      jnp.asarray(v), jnp.asarray(R), Hf)
+        np.testing.assert_allclose(np.asarray(s1.lm[:, 0, i]),
+                                   np.asarray(xf2), rtol=1e-4, atol=1e-5)
+        got_P = np.array([[s1.lm_P[0, 0, i], s1.lm_P[1, 0, i]],
+                          [s1.lm_P[1, 0, i], s1.lm_P[2, 0, i]]])
+        np.testing.assert_allclose(got_P, np.asarray(Pf2), rtol=1e-3,
+                                   atol=1e-5)
 
 
 def test_estimate_position_weighted_mean():
     state = init_particles(2, 2, 2)
-    xv = np.array([[0.0, 0.0, 0.1], [2.0, 4.0, 0.7]], np.float32)
+    xv = np.array([[0.0, 2.0], [0.0, 4.0], [0.1, 0.7]], np.float32)
     logw = np.log(np.array([0.25, 0.75], np.float32))
     state = state._replace(xv=jnp.asarray(xv), logw=jnp.asarray(logw))
     est = np.asarray(estimate_position(state))
@@ -266,8 +312,9 @@ def test_estimate_position_weighted_mean():
 def test_gather_particles_keeps_shared_fields():
     state = init_particles(4, 2, 2)
     state = state._replace(xv=jnp.arange(12, dtype=jnp.float32)
-                           .reshape(4, 3))
+                           .reshape(3, 4))
     idx = jnp.array([3, 3, 0, 1], dtype=jnp.int32)
     s1 = gather_particles(state, idx)
-    np.testing.assert_allclose(np.asarray(s1.xv[0]), np.asarray(state.xv[3]))
+    np.testing.assert_allclose(np.asarray(s1.xv[:, 0]),
+                               np.asarray(state.xv[:, 3]))
     assert s1.n is state.n and s1.da_table is state.da_table

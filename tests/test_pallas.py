@@ -1,0 +1,154 @@
+"""Golden tests: Pallas kernels vs the jnp plane-math they share
+(interpret mode on CPU; the real compile is exercised by bench.py on
+TPU). This systematizes the reference's DATA_DUMP FPGA-vs-software
+equivalence checks (core.cpp:512-563)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_tpu.models import rbpf
+from slam_tpu.models.particles import init_particles
+from slam_tpu.ops import planes as pk
+from slam_tpu.ops.pallas.kernels import (
+    _observe_call,
+    fs1_observe_tpu,
+    jacobians_tpu,
+)
+
+R = np.diag([0.01, 0.0003]).astype(np.float32)
+
+
+def _planes_inputs(P=300, K=5, seed=0):
+    rng = np.random.default_rng(seed)
+    xv = rng.normal(size=(3, P)).astype(np.float32)
+    lmx = (xv[0] + rng.normal(size=(K, P)) * 5 + 2).astype(np.float32)
+    lmy = (xv[1] + rng.normal(size=(K, P)) * 5 + 1).astype(np.float32)
+    A = rng.normal(size=(K, P)).astype(np.float32) * 0.3
+    B = rng.normal(size=(K, P)).astype(np.float32) * 0.3
+    p00 = A * A + 0.05
+    p11 = B * B + 0.05
+    p01 = 0.3 * A * B
+    return xv, lmx, lmy, p00, p01, p11
+
+
+def test_jacobians_kernel_matches_planes():
+    xv, lmx, lmy, p00, p01, p11 = _planes_inputs()
+    got = jacobians_tpu(*map(jnp.asarray, (xv, lmx, lmy, p00, p01, p11)),
+                        jnp.asarray(R), interpret=True)
+    want = pk.jacobians_planes(xv[0][None], xv[1][None], xv[2][None],
+                               lmx, lmy, p00, p01, p11,
+                               R[0, 0], R[0, 1], R[1, 1])
+    for name, g, w in zip(got._fields, got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_observe_kernel_matches_unfused():
+    xv, lmx, lmy, p00, p01, p11 = _planes_inputs(P=260, K=4, seed=3)
+    K = 4
+    z = np.abs(np.random.default_rng(1).normal(size=(K, 2))
+               ).astype(np.float32) + np.array([4.0, 0.0], np.float32)
+    matched = np.array([True, False, True, True])
+
+    outs = _observe_call(*map(jnp.asarray,
+                              (xv, lmx, lmy, p00, p01, p11, z, matched)),
+                         jnp.asarray(R), interpret=True)
+    dlogw, nx, ny, np00, np01, np11 = map(np.asarray, outs)
+
+    # Unfused reference using the same plane math.
+    J = pk.jacobians_planes(xv[0][None], xv[1][None], xv[2][None],
+                            lmx, lmy, p00, p01, p11,
+                            R[0, 0], R[0, 1], R[1, 1])
+    v0 = z[:, 0][:, None] - np.asarray(J.zr)
+    from slam_tpu.geometry import wrap_angle
+    v1 = np.asarray(wrap_angle(z[:, 1][:, None] - J.zb))
+    logl = np.asarray(pk.log_gauss2_planes(
+        jnp.asarray(v0), jnp.asarray(v1), J.s00, J.s01, J.s11))
+    want_dlogw = (logl * matched[:, None]).sum(0)
+    np.testing.assert_allclose(dlogw[0], want_dlogw, rtol=1e-4,
+                               atol=1e-5)
+
+    upd = pk.feature_update_planes(jnp.asarray(lmx), jnp.asarray(lmy),
+                                   jnp.asarray(p00), jnp.asarray(p01),
+                                   jnp.asarray(p11), jnp.asarray(v0),
+                                   jnp.asarray(v1), J)
+    for k in range(K):
+        if matched[k]:
+            np.testing.assert_allclose(nx[k], np.asarray(upd.nx)[k],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np11[k], np.asarray(upd.np11)[k],
+                                       rtol=1e-3, atol=1e-5)
+        else:  # pass-through
+            np.testing.assert_allclose(nx[k], lmx[k])
+            np.testing.assert_allclose(np00[k], p00[k])
+
+
+def test_fs1_observe_tpu_matches_jnp_update():
+    """The full fused-state path == the unfused fs1 weight+feature
+    update (same ParticleState in, same out)."""
+    from slam_tpu.ops.planes import log_gauss2_planes
+    P, L = 200, 6
+    rng = np.random.default_rng(7)
+    state = init_particles(P, L, L)
+    lm = rng.normal(size=(2, L, P)).astype(np.float32) * 5
+    lm_P = np.zeros((3, L, P), np.float32)
+    lm_P[0] = 0.1
+    lm_P[2] = 0.1
+    state = state._replace(
+        xv=jnp.asarray(rng.normal(size=(3, P)).astype(np.float32) * 0.1),
+        lm=jnp.asarray(lm), lm_P=jnp.asarray(lm_P), n=jnp.int32(L))
+
+    z = jnp.asarray(np.array([[5.0, 0.3], [4.0, -0.2]], np.float32))
+    slot = jnp.array([2, 4], dtype=jnp.int32)
+    matched = jnp.array([True, True])
+
+    got = fs1_observe_tpu(state, z, slot, matched, jnp.asarray(R),
+                          interpret=True)
+
+    J, v0, v1 = rbpf.observe_planes(state, z, slot, jnp.asarray(R))
+    logl = jnp.where(matched[:, None],
+                     log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11), 0.0)
+    want = state._replace(logw=state.logw + jnp.sum(logl, axis=0))
+    want = rbpf.update_matched_features(want, slot, matched, v0, v1, J)
+
+    np.testing.assert_allclose(np.asarray(got.logw),
+                               np.asarray(want.logw), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lm), np.asarray(want.lm),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lm_P),
+                               np.asarray(want.lm_P), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_plane_jacobians_match_stacked():
+    """Plane-form jacobians == the stacked-matrix compute_jacobians used
+    by the EKF path."""
+    from slam_tpu.ops.jacobians import compute_jacobians
+    xv, lmx, lmy, p00, p01, p11 = _planes_inputs(P=40, K=3, seed=9)
+    J = pk.jacobians_planes(xv[0][None], xv[1][None], xv[2][None],
+                            lmx, lmy, p00, p01, p11,
+                            R[0, 0], R[0, 1], R[1, 1])
+    for k in range(3):
+        for i in range(40):
+            Pf = np.array([[p00[k, i], p01[k, i]],
+                           [p01[k, i], p11[k, i]]], np.float32)
+            zp, Hv, Hf, Sf = compute_jacobians(
+                jnp.asarray(xv[:, i]),
+                jnp.asarray(np.array([lmx[k, i], lmy[k, i]], np.float32)),
+                jnp.asarray(Pf), jnp.asarray(R))
+            np.testing.assert_allclose(float(J.zr[k, i]), float(zp[0]),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(float(J.a[k, i]), float(Hf[0, 0]),
+                                       rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(float(J.hv10[k, i]),
+                                       float(Hv[1, 0]), rtol=1e-4,
+                                       atol=1e-6)
+            np.testing.assert_allclose(float(J.s00[k, i]),
+                                       float(Sf[0, 0]), rtol=1e-3,
+                                       atol=1e-6)
+            np.testing.assert_allclose(float(J.s01[k, i]),
+                                       float(Sf[0, 1]), rtol=1e-3,
+                                       atol=1e-6)

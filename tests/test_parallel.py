@@ -38,8 +38,8 @@ def _toy_state(n, capacity=4, seed=0):
     rng = np.random.default_rng(seed)
     state = init_particles(n, capacity, 4)
     return state._replace(
-        xv=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
-        lm=jnp.asarray(rng.normal(size=(n, capacity, 2))
+        xv=jnp.asarray(rng.normal(size=(3, n)).astype(np.float32)),
+        lm=jnp.asarray(rng.normal(size=(2, capacity, n))
                        .astype(np.float32)),
     )
 
@@ -105,10 +105,10 @@ def test_ring_resample_proportional_ancestry(mesh):
                           check_vma=False))
     new_state, new_logw, did = f(state)
     assert bool(did)
-    xv = np.asarray(new_state.xv)
+    xv = np.asarray(new_state.xv)           # [3, P]
     ref = np.asarray(state.xv)
-    from_a = np.all(np.isclose(xv, ref[heavy_a]), axis=1)
-    from_b = np.all(np.isclose(xv, ref[heavy_b]), axis=1)
+    from_a = np.all(np.isclose(xv, ref[:, heavy_a][:, None]), axis=0)
+    from_b = np.all(np.isclose(xv, ref[:, heavy_b][:, None]), axis=0)
     assert (from_a | from_b).all()
     # Stratified resampling: counts within 1 of N*w.
     assert abs(from_a.sum() - 48) <= 1
