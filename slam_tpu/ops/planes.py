@@ -26,6 +26,29 @@ import jax.numpy as jnp
 from slam_tpu.geometry import wrap_angle
 
 _LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+_PI = float(jnp.pi)
+_HALF_PI = 0.5 * _PI
+
+
+def atan2_poly(y, x):
+    """Pallas-TPU-safe atan2: odd minimax polynomial for atan on [0, 1]
+    plus quadrant reconstruction (the TPU Mosaic lowering has no atan2
+    primitive). Max abs error ~1e-6 rad — three orders of magnitude below
+    the sigmaB=1 deg bearing noise floor. Used by BOTH the jnp and the
+    Pallas path so golden tests compare identical math."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    z = mn / jnp.maximum(mx, 1e-30)
+    s = z * z
+    # atan(z), z in [0, 1]: minimax odd polynomial (Abramowitz-Stegun
+    # style refit), |err| < 1.1e-6.
+    p = (((((-0.0117212 * s + 0.05265332) * s - 0.11643287) * s
+           + 0.19354346) * s - 0.33262348) * s + 0.99997726) * z
+    r = jnp.where(ay > ax, _HALF_PI - p, p)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
 
 
 class JacobianPlanes(NamedTuple):
@@ -61,7 +84,7 @@ def jacobians_planes(xvx, xvy, xvt, lmx, lmy, p00, p01, p11,
     inv_d2 = 1.0 / d2
 
     zr = d
-    zb = wrap_angle(jnp.arctan2(dy, dx) - xvt)
+    zb = wrap_angle(atan2_poly(dy, dx) - xvt)
 
     a = dx * inv_d
     b = dy * inv_d

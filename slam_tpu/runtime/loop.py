@@ -36,6 +36,8 @@ class RunResult(NamedTuple):
     active: np.ndarray         # [T] bool — vehicle not yet done
     obs_count: np.ndarray      # [T] int32 visible landmarks
     obs_range_sum: np.ndarray  # [T] float32 sum of observed ranges
+    obs_z: np.ndarray          # [T, max_obs, 2] noisy observations
+    obs_mask: np.ndarray       # [T, max_obs] validity
     final_state: Any
     n_ticks: int
     wall_seconds: float        # full compiled-run wall time
@@ -119,7 +121,9 @@ class Runner:
                self.est.pose(est_state),
                ~sim_state.vehicle.done,
                obs.count,
-               jnp.sum(jnp.where(obs.mask, obs.z[:, 0], 0.0)))
+               jnp.sum(jnp.where(obs.mask, obs.z[:, 0], 0.0)),
+               obs.z,
+               obs.mask)
         return (sim_state, est_state, key), out
 
     def _build(self, n_supersteps: int):
@@ -150,15 +154,30 @@ class Runner:
         jax.block_until_ready(outs)
         t2 = time.perf_counter()
 
-        true_pose, est_pose, active, obs_count, range_sum = outs
+        true_pose, est_pose, active, obs_count, range_sum, z, zmask = outs
         return RunResult(
             true_pose=np.asarray(true_pose),
             est_pose=np.asarray(est_pose),
             active=np.asarray(active),
             obs_count=np.asarray(obs_count),
             obs_range_sum=np.asarray(range_sum),
+            obs_z=np.asarray(z),
+            obs_mask=np.asarray(zmask),
             final_state=final_est,
             n_ticks=n_supersteps * period,
             wall_seconds=t2 - t1,
             compile_seconds=t1 - t0,
         )
+
+    # ------------------------------------------------------------------
+    def run_streaming(self, seed: int = 0, n_ticks: int | None = None,
+                      plot=None, sim_name: str = "simulation"
+                      ) -> RunResult:
+        """Superstep-at-a-time host loop with live telemetry — the
+        visualization path, protocol-compatible with the stock slam-gui
+        (the reference wrappers' per-tick ZMQ emission,
+        ekfslamwrapper.cpp:88-105). ``plot``: a
+        slam_tpu.runtime.telemetry.NetworkPlot (or None for headless)."""
+        from slam_tpu.runtime.stream import stream_run
+        return stream_run(self, seed=seed, n_ticks=n_ticks, plot=plot,
+                          sim_name=sim_name)
