@@ -153,10 +153,13 @@ def _log_likelihood_at(state: ParticleState, xvs, z, slot, matched, R):
 
 
 def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
-               *, do_resample: bool = True,
+               *, do_resample: bool = True, use_pallas: bool = False,
                resample_fn=None) -> ParticleState:
     """Proposal sampling, weighting, map update, resampling
-    (FastSLAM2::update, fastslam2.cpp:21-48)."""
+    (FastSLAM2::update, fastslam2.cpp:21-48). With ``use_pallas`` the
+    post-sampling likelihood + feature-update pass runs through the fused
+    TPU observe kernel (it evaluates exactly likelihoodGivenXv and
+    featureUpdate at the sampled pose)."""
     assoc, is_new = rbpf.associate_known(state, ids, zmask)
     matched = assoc >= 0
     slot = jnp.where(matched, assoc, 0)
@@ -178,23 +181,31 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
 
     # Importance weight: likelihood * prior / proposal, log-space
     # (fastslam2.cpp:359-367).
-    log_lik = _log_likelihood_at(state, xvs, z, slot, matched, R)
     dp2 = wrap_angle(xv0[2] - xvs[2])
     log_prior = pk.log_gauss3_planes(tuple(Pv0), xv0[0] - xvs[0],
                                      xv0[1] - xvs[1], dp2, _PV_JITTER)
     dq2 = wrap_angle(xv_r[2] - xvs[2])
     log_prop = pk.log_gauss3_planes(Pv_r_t, xv_r[0] - xvs[0],
                                     xv_r[1] - xvs[1], dq2, _PV_JITTER)
-    dlogw = jnp.where(any_obs, log_lik + log_prior - log_prop, 0.0)
+    corr = jnp.where(any_obs, log_prior - log_prop, 0.0)
     state = state._replace(
-        logw=state.logw + dlogw,
+        logw=state.logw + corr,
         xv=xvs,
         Pv=jnp.where(any_obs, jnp.zeros_like(state.Pv), Pv0),
     )
 
-    # Map update at the sampled pose (featureUpdate + addFeature).
-    J, v0, v1 = rbpf.observe_planes(state, z, slot, R)
-    state = rbpf.update_matched_features(state, slot, matched, v0, v1, J)
+    # Likelihood weighting + map update at the sampled pose
+    # (likelihoodGivenXv + featureUpdate) — one fused kernel on TPU.
+    if use_pallas:
+        from slam_tpu.ops.pallas import fs1_observe_tpu
+        state = fs1_observe_tpu(state, z, slot, matched, R)
+    else:
+        log_lik = _log_likelihood_at(state, state.xv, z, slot, matched,
+                                     R)
+        state = state._replace(logw=state.logw + log_lik)
+        J, v0, v1 = rbpf.observe_planes(state, z, slot, R)
+        state = rbpf.update_matched_features(state, slot, matched, v0,
+                                             v1, J)
     state = rbpf.add_new_features(state, z, ids, is_new, R)
     if resample_fn is not None:
         return resample_fn(state, key, n_min)
@@ -209,12 +220,16 @@ class FastSlam2:
         self.config = config
         self.n_map = n_map_landmarks
         self.capacity = config.max_landmarks or n_map_landmarks
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         cfg = config
         self._predict = jax.jit(partial(
             fs2_predict, wheelbase=cfg.WHEELBASE, dt=cfg.DT_CONTROLS,
             add_noise=bool(cfg.SWITCH_PREDICT_NOISE)))
         self._update = jax.jit(partial(
-            fs2_update, do_resample=bool(cfg.SWITCH_RESAMPLE)))
+            fs2_update, do_resample=bool(cfg.SWITCH_RESAMPLE),
+            use_pallas=use_pallas))
         self._observe_heading = jax.jit(rbpf.observe_heading_particles)
 
     def init(self, n_particles: int | None = None) -> ParticleState:

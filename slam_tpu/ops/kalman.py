@@ -16,6 +16,7 @@ state width, the FastSLAM paths vmap them over particles x landmarks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -32,13 +33,16 @@ def joseph_update(x, P, v, r, H):
       r: scalar observation variance. H: [N] observation row.
     Returns updated (x, P). P gets the reference's +eps*I jitter.
     """
-    PHt = P @ H                      # [N]
+    # f32 (HIGHEST) matmul precision throughout: covariance updates
+    # collapse to NaN under the TPU's default bf16 MXU precision.
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    PHt = mm(P, H)                   # [N]
     s = H @ PHt + r                  # scalar
     W = PHt / s                      # [N]
     x_new = x + W * v
     n = x.shape[-1]
     C = jnp.eye(n, dtype=P.dtype) - jnp.outer(W, H)
-    P_new = C @ P @ C.T + r * jnp.outer(W, W)
+    P_new = mm(mm(C, P), C.T) + r * jnp.outer(W, W)
     P_new = P_new + _JOSEPH_EPS * jnp.eye(n, dtype=P.dtype)
     return x_new, P_new
 
@@ -51,15 +55,16 @@ def cholesky_update(x, P, v, R, H):
     Returns updated (x, P). Symmetrizes S before factorization like the
     reference; P update uses the W1 W1^T form for symmetry.
     """
-    PHt = P @ H.T                    # [N, M]
-    S = H @ PHt + R
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    PHt = mm(P, H.T)                 # [N, M]
+    S = mm(H, PHt) + R
     S = 0.5 * (S + S.T)
     L = jsl.cholesky(S, lower=True)  # [M, M]
     # W1 = PHt L^-T ; P -= W1 W1^T ; x += PHt S^-1 v
     W1 = jsl.solve_triangular(L, PHt.T, lower=True).T   # [N, M]
-    Wv = W1 @ jsl.solve_triangular(L, v, lower=True)
+    Wv = mm(W1, jsl.solve_triangular(L, v, lower=True))
     x_new = x + Wv
-    P_new = P - W1 @ W1.T
+    P_new = P - mm(W1, W1.T)
     return x_new, P_new
 
 

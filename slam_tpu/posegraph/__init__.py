@@ -1,0 +1,15 @@
+"""Pose-graph refinement: batch Gauss-Newton bundle adjustment with
+Schur-complement landmark elimination.
+
+No reference counterpart (the reference is a pure filter); required by
+the large-scale benchmark configs (BASELINE.md: distributed pose-graph BA
+over stored keyframes at the 10k-landmark scale).
+"""
+
+from slam_tpu.posegraph.ba import (
+    BAProblem,
+    problem_from_run,
+    solve_ba,
+)
+
+__all__ = ["BAProblem", "problem_from_run", "solve_ba"]

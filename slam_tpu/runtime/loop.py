@@ -38,6 +38,9 @@ class RunResult(NamedTuple):
     obs_range_sum: np.ndarray  # [T] float32 sum of observed ranges
     obs_z: np.ndarray          # [T, max_obs, 2] noisy observations
     obs_mask: np.ndarray       # [T, max_obs] validity
+    obs_ids: np.ndarray        # [T, max_obs] true landmark ids
+    odom: np.ndarray           # [T, 3] dead-reckoned relative transform
+                               # over each superstep (noisy controls)
     final_state: Any
     n_ticks: int
     wall_seconds: float        # full compiled-run wall time
@@ -88,7 +91,7 @@ class Runner:
         ekf = isinstance(self.est, EkfSlam)
 
         def tick(c, _):
-            sim_state, est_state, key = c
+            sim_state, est_state, key, dr = c
             sim_state, controls = self.sim.control_step(sim_state)
             # Heading for the per-tick observe: EKF gets the noisy IMU
             # heading (ekfslamwrapper.cpp:81); FastSLAM gets truth
@@ -105,10 +108,19 @@ class Runner:
                 lambda new, old: jnp.where(sim_state.vehicle.done, old,
                                            new),
                 new_est, est_state)
-            return (sim_state, est_state, key), None
+            # Dead-reckoning odometry: integrate the NOISY controls from
+            # the superstep origin — an independent relative-pose
+            # measurement for the pose-graph refinement stage.
+            from slam_tpu.sim.vehicle import predict_true_position
+            dr = predict_true_position(dr, controls.v_noisy,
+                                       controls.g_noisy,
+                                       self.config.WHEELBASE,
+                                       self.config.DT_CONTROLS)
+            return (sim_state, est_state, key, dr), None
 
-        (sim_state, est_state, key), _ = jax.lax.scan(
-            tick, (sim_state, est_state, key), None, length=period)
+        dr0 = jnp.zeros(3, dtype=jnp.float32)
+        (sim_state, est_state, key, dr), _ = jax.lax.scan(
+            tick, (sim_state, est_state, key, dr0), None, length=period)
 
         sim_state, obs = self.sim.observe_step(sim_state)
         key, sub = jax.random.split(key)
@@ -123,7 +135,9 @@ class Runner:
                obs.count,
                jnp.sum(jnp.where(obs.mask, obs.z[:, 0], 0.0)),
                obs.z,
-               obs.mask)
+               obs.mask,
+               obs.ids,
+               dr)
         return (sim_state, est_state, key), out
 
     def _build(self, n_supersteps: int):
@@ -154,7 +168,8 @@ class Runner:
         jax.block_until_ready(outs)
         t2 = time.perf_counter()
 
-        true_pose, est_pose, active, obs_count, range_sum, z, zmask = outs
+        (true_pose, est_pose, active, obs_count, range_sum, z, zmask,
+         ids, odom) = outs
         return RunResult(
             true_pose=np.asarray(true_pose),
             est_pose=np.asarray(est_pose),
@@ -163,6 +178,8 @@ class Runner:
             obs_range_sum=np.asarray(range_sum),
             obs_z=np.asarray(z),
             obs_mask=np.asarray(zmask),
+            obs_ids=np.asarray(ids),
+            odom=np.asarray(odom),
             final_state=final_est,
             n_ticks=n_supersteps * period,
             wall_seconds=t2 - t1,

@@ -90,7 +90,7 @@ def stream_run(runner, seed=0, n_ticks=None, plot=None,
         out = jax.tree.map(np.asarray, jax.block_until_ready(out))
         outs.append(out)
         if plot is not None:
-            (tp, ep, active, count, _rs, z, zmask) = out
+            (tp, ep, active, count, _rs, z, zmask, _ids, _odom) = out
             plot.add_true_position(tp[0], tp[1])
             plot.add_estimated_position(ep[0], ep[1])
             plot.set_car_true_position(tp[0], tp[1], tp[2])
@@ -106,12 +106,13 @@ def stream_run(runner, seed=0, n_ticks=None, plot=None,
     if plot is not None:
         plot.end_plot()
 
-    stacked = [np.stack([o[i] for o in outs]) for i in range(7)]
+    stacked = [np.stack([o[i] for o in outs]) for i in range(9)]
     return RunResult(
         true_pose=stacked[0], est_pose=stacked[1],
         active=stacked[2].astype(bool), obs_count=stacked[3],
         obs_range_sum=stacked[4], obs_z=stacked[5],
-        obs_mask=stacked[6].astype(bool),
+        obs_mask=stacked[6].astype(bool), obs_ids=stacked[7],
+        odom=stacked[8],
         final_state=carry[1],
         n_ticks=len(outs) * period,
         wall_seconds=wall,

@@ -1,0 +1,107 @@
+"""Pose-graph BA tests: synthetic recovery + end-to-end refinement."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from slam_tpu.geometry import wrap_angle
+from slam_tpu.posegraph import BAProblem, problem_from_run, solve_ba
+from slam_tpu.posegraph.ba import to_local
+
+
+def _synthetic_problem(T=40, L=12, K=6, seed=0, noise=0.0):
+    """Ground-truth circle trajectory observing scattered landmarks;
+    initial guess = truth + perturbation."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 1.5 * np.pi, T)
+    poses_true = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                           wrap_angle(ang + np.pi / 2)], -1).astype(
+        np.float32)
+    lms_true = rng.uniform(-16, 16, size=(L, 2)).astype(np.float32)
+
+    # Observations: K nearest landmarks per pose, exact range-bearing.
+    z = np.zeros((T, K, 2), np.float32)
+    idx = np.zeros((T, K), np.int32)
+    mask = np.ones((T, K), bool)
+    for t in range(T):
+        d = lms_true - poses_true[t, :2]
+        order = np.argsort((d * d).sum(-1))[:K]
+        idx[t] = order
+        dd = lms_true[order] - poses_true[t, :2]
+        z[t, :, 0] = np.sqrt((dd * dd).sum(-1))
+        z[t, :, 1] = np.arctan2(dd[:, 1], dd[:, 0]) - poses_true[t, 2]
+    if noise:
+        z[..., 0] += rng.normal(scale=noise, size=z[..., 0].shape)
+        z[..., 1] += rng.normal(scale=noise / 10, size=z[..., 1].shape)
+
+    odom = np.asarray(to_local(jnp.asarray(poses_true[:-1]),
+                               jnp.asarray(poses_true[1:])))
+
+    poses0 = poses_true + rng.normal(scale=0.3,
+                                     size=poses_true.shape).astype(
+        np.float32) * np.array([1, 1, 0.1], np.float32)
+    poses0[0] = poses_true[0]  # gauge
+    lms0 = lms_true + rng.normal(scale=0.5, size=lms_true.shape).astype(
+        np.float32)
+
+    prob = BAProblem(
+        poses0=jnp.asarray(poses0),
+        landmarks0=jnp.asarray(lms0),
+        odom=jnp.asarray(odom),
+        odom_info=jnp.asarray(np.diag([100.0, 100.0, 400.0]),
+                              jnp.float32),
+        z=jnp.asarray(z), lm_idx=jnp.asarray(idx),
+        mask=jnp.asarray(mask),
+        R=jnp.asarray(np.diag([0.01, 0.0003]), jnp.float32))
+    return prob, poses_true, lms_true
+
+
+def test_ba_recovers_truth_from_perturbation():
+    prob, poses_true, lms_true = _synthetic_problem()
+    init_err = np.linalg.norm(
+        np.asarray(prob.poses0)[:, :2] - poses_true[:, :2], axis=1)
+    poses, lms = solve_ba(prob, iters=12, damping=1e-4)
+    err = np.linalg.norm(np.asarray(poses)[:, :2] - poses_true[:, :2],
+                         axis=1)
+    # Near-exact recovery from exact observations.
+    assert err.mean() < 0.02, (err.mean(), init_err.mean())
+    assert err.mean() < 0.1 * init_err.mean()
+    lm_err = np.linalg.norm(np.asarray(lms) - lms_true, axis=1)
+    assert lm_err.mean() < 0.05
+
+
+def test_ba_noisy_observations_still_improve():
+    prob, poses_true, _ = _synthetic_problem(noise=0.05, seed=3)
+    init_err = np.linalg.norm(
+        np.asarray(prob.poses0)[:, :2] - poses_true[:, :2], axis=1)
+    poses, _ = solve_ba(prob, iters=10, damping=1e-3)
+    err = np.linalg.norm(np.asarray(poses)[:, :2] - poses_true[:, :2],
+                         axis=1)
+    assert err.mean() < 0.5 * init_err.mean()
+
+
+def test_refine_filter_run_improves_ate():
+    """BA over a filter run's keyframes reduces trajectory error vs the
+    filter estimate (the BASELINE.md refinement stage)."""
+    from slam_tpu.config import SlamConfig
+    from slam_tpu.maps import read_map_file
+    from slam_tpu.runtime import Runner
+
+    slam_map = read_map_file("/root/reference/data/example_loop1.mat")
+    cfg = SlamConfig.from_ini("/root/reference/data/example_loop1.ini")
+    runner = Runner(cfg, slam_map, "FASTSLAM1", n_particles=40)
+    result = runner.run(seed=11, n_ticks=2400)
+
+    prob = problem_from_run(result, cfg)
+    poses, _ = solve_ba(prob, iters=8, damping=1e-3)
+
+    act = result.active
+    filt_err = np.linalg.norm(
+        result.est_pose[act, :2] - result.true_pose[act, :2], axis=1)
+    ba_err = np.linalg.norm(
+        np.asarray(poses)[:, :2] - result.true_pose[act, :2], axis=1)
+    filt_rmse = np.sqrt((filt_err ** 2).mean())
+    ba_rmse = np.sqrt((ba_err ** 2).mean())
+    assert np.isfinite(ba_rmse)
+    # The refinement must not degrade the trajectory, and typically
+    # improves it.
+    assert ba_rmse < filt_rmse * 1.05, (ba_rmse, filt_rmse)
