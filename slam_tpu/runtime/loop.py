@@ -187,6 +187,68 @@ class Runner:
         )
 
     # ------------------------------------------------------------------
+    def run_checkpointed(self, seed: int = 0, n_ticks: int | None = None,
+                         every: int = 50, ckpt_path: str = "ckpt/run",
+                         resume: bool = False) -> RunResult:
+        """Chunked run with periodic checkpoints: scans ``every``
+        supersteps per compiled call, snapshotting the full run state
+        between chunks (slam_tpu.runtime.checkpoint). With ``resume``,
+        continues from the saved chunk — bit-exactly equal to the
+        unbroken run (deterministic threefry streams)."""
+        import os
+
+        from slam_tpu.runtime.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        cfg = self.config
+        period = cfg.steps_per_observe
+        if n_ticks is None:
+            n_ticks = self.estimate_run_ticks()
+        n_supersteps = n_ticks // period
+
+        sim_state = self.sim.init(seed=seed or cfg.SWITCH_SEED_RANDOM)
+        est_state = self.est.init(self.n_particles)
+        key = jax.random.PRNGKey(seed + 1)
+        start = 0
+        if resume and os.path.exists(ckpt_path + ".json"):
+            sim_state, est_state, key, start = load_checkpoint(
+                ckpt_path, sim_state, est_state)
+
+        def chunk_program(sim_state, est_state, key):
+            return jax.lax.scan(self._superstep,
+                                (sim_state, est_state, key), None,
+                                length=every)
+
+        chunk = jax.jit(chunk_program)
+        all_outs = []
+        t0 = time.perf_counter()
+        done = start
+        carry = (sim_state, est_state, key)
+        while done < n_supersteps:
+            carry, outs = chunk(*carry)
+            jax.block_until_ready(outs)
+            all_outs.append(jax.tree.map(np.asarray, outs))
+            done += every
+            save_checkpoint(ckpt_path, carry[0], carry[1], carry[2],
+                            done, meta={"method": self.method,
+                                        "seed": seed})
+        wall = time.perf_counter() - t0
+
+        cat = [np.concatenate([o[i] for o in all_outs])
+               for i in range(9)]
+        n_keep = n_supersteps - start
+        cat = [c[:n_keep] for c in cat]
+        return RunResult(
+            true_pose=cat[0], est_pose=cat[1],
+            active=cat[2].astype(bool), obs_count=cat[3],
+            obs_range_sum=cat[4], obs_z=cat[5],
+            obs_mask=cat[6].astype(bool), obs_ids=cat[7], odom=cat[8],
+            final_state=carry[1], n_ticks=n_keep * period,
+            wall_seconds=wall, compile_seconds=0.0)
+
+    # ------------------------------------------------------------------
     def run_streaming(self, seed: int = 0, n_ticks: int | None = None,
                       plot=None, sim_name: str = "simulation"
                       ) -> RunResult:
