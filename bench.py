@@ -81,13 +81,78 @@ def bench_particle_throughput(n_particles=1_000_000, n_supersteps=8):
     return pps
 
 
+def bench_map_run(method, mapname, n_particles, n_ticks=2000, seed=3):
+    from slam_tpu.config import SlamConfig
+    from slam_tpu.maps import read_map_file
+    from slam_tpu.runtime import Runner, compute_metrics
+    mat = os.path.join(DATA, f"{mapname}.mat")
+    cfg = SlamConfig.from_ini(os.path.join(DATA, f"{mapname}.ini"))
+    runner = Runner(cfg, read_map_file(mat), method,
+                    n_particles=n_particles)
+    result = runner.run(seed=seed, n_ticks=n_ticks)
+    m = compute_metrics(result)
+    _log(f"{method} {mapname} p={n_particles or cfg.NPARTICLES}: "
+         f"{m.steps_per_second:,.0f} steps/s  ATE {m.ate_rmse:.3f} m")
+    return m
+
+
+def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=5):
+    """BASELINE config #5 single-chip portion: pose-graph BA over a
+    10k-landmark synthetic map."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from slam_tpu.posegraph import BAProblem, solve_ba
+    from slam_tpu.posegraph.ba import to_local
+
+    rng = np.random.default_rng(0)
+    T, L, K = n_keyframes, n_landmarks, 24
+    ang = np.linspace(0, 2 * np.pi, T)
+    poses = np.stack([200 * np.cos(ang), 200 * np.sin(ang),
+                      ang + np.pi / 2], -1).astype(np.float32)
+    lms = rng.uniform(-300, 300, (L, 2)).astype(np.float32)
+    idx = rng.integers(0, L, (T, K)).astype(np.int32)
+    d = lms[idx] - poses[:, None, :2]
+    z = np.stack([np.linalg.norm(d, axis=-1),
+                  np.arctan2(d[..., 1], d[..., 0]) - poses[:, 2:3]],
+                 -1).astype(np.float32)
+    prob = BAProblem(
+        poses0=jnp.asarray(poses + rng.normal(scale=0.5,
+                                              size=poses.shape)
+                           .astype(np.float32)),
+        landmarks0=jnp.asarray(lms + rng.normal(scale=1.0,
+                                                size=lms.shape)
+                               .astype(np.float32)),
+        odom=to_local(jnp.asarray(poses[:-1]), jnp.asarray(poses[1:])),
+        odom_info=jnp.asarray(np.diag([100., 100., 400.]), jnp.float32),
+        z=jnp.asarray(z), lm_idx=jnp.asarray(idx),
+        mask=jnp.ones((T, K), bool),
+        R=jnp.asarray(np.diag([0.01, 0.0003]), jnp.float32))
+    t0 = time.time()
+    p1, l1 = solve_ba(prob, iters=1)
+    jax.block_until_ready(p1)
+    t1 = time.time()
+    p, lm_out = solve_ba(prob, iters=iters)
+    jax.block_until_ready(p)
+    dt = (time.time() - t1) / iters
+    err = float(jnp.linalg.norm(p[:, :2] - poses[:, :2], axis=1).mean())
+    _log(f"BA 10k-landmark x {T} keyframes: {dt*1e3:.0f} ms/GN-iter "
+         f"(compile+first {t1-t0:.1f}s), mean pose err {err:.3f} m")
+    return dt
+
+
 def main():
     t0 = time.time()
     m = bench_run("FASTSLAM1", n_particles=100)
     try:
         bench_run("EKF1", None, n_ticks=2000)
         bench_run("FASTSLAM2", n_particles=100, n_ticks=2000)
+        # BASELINE configs #3/#4: FS2 loop2 @1k, FS1 loop902 @100k.
+        bench_map_run("FASTSLAM2", "example_loop2", 1000)
+        bench_map_run("FASTSLAM1", "example_loop902", 100_000,
+                      n_ticks=800)
         bench_particle_throughput()
+        bench_ba_10k()
     except Exception as e:
         _log(f"secondary benches failed: {type(e).__name__}: {e}")
 

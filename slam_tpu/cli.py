@@ -35,6 +35,8 @@ Usage: python -m slam_tpu [options]
     -ticks <N>       max control ticks
     -seed <N>        PRNG seed
     -plot            stream ZMQ telemetry to a running slam-gui
+    -profile <dir>   capture a jax device profile into <dir>
+    -ckpt <path>     checkpoint path prefix (enables chunked run+resume)
     -out <dir>       report output directory (default .)
     -KEY <value>     override any config key (e.g. -SWITCH_HEADING_KNOWN 0)
     -h               this help
@@ -62,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     n_ticks = flags.pop("ticks", None)
     seed = int(flags.pop("seed", 0))
     out_dir = flags.pop("out", ".")
+    profile_dir = flags.pop("profile", None)
+    ckpt_path = flags.pop("ckpt", None)
     flags.pop("plot", None)
 
     if mode != "waypoints":
@@ -83,16 +87,32 @@ def main(argv: list[str] | None = None) -> int:
           f"({slam_map.n_landmarks} landmarks, "
           f"{slam_map.n_waypoints} waypoints)", file=sys.stderr)
 
-    if use_plot:
-        from slam_tpu.runtime.telemetry import NetworkPlot
-        plot = NetworkPlot()
-        result = runner.run_streaming(
-            seed=seed, plot=plot, sim_name=sim_name,
-            n_ticks=int(n_ticks) if n_ticks else None)
-        plot.close()
-    else:
-        result = runner.run(seed=seed,
-                            n_ticks=int(n_ticks) if n_ticks else None)
+    import contextlib
+
+    profiler = contextlib.nullcontext()
+    if profile_dir:
+        from slam_tpu.runtime.profiling import trace
+        profiler = trace(profile_dir)
+
+    nt = int(n_ticks) if n_ticks else None
+    with profiler:
+        if use_plot:
+            # Prefer the native C++ publisher; fall back to ctypes-Python.
+            try:
+                from slam_tpu.runtime.native import NativeNetworkPlot
+                plot = NativeNetworkPlot()
+            except OSError:
+                from slam_tpu.runtime.telemetry import NetworkPlot
+                plot = NetworkPlot()
+            result = runner.run_streaming(seed=seed, plot=plot,
+                                          sim_name=sim_name, n_ticks=nt)
+            plot.close()
+        elif ckpt_path:
+            result = runner.run_checkpointed(seed=seed, n_ticks=nt,
+                                             ckpt_path=ckpt_path,
+                                             resume=True)
+        else:
+            result = runner.run(seed=seed, n_ticks=nt)
 
     metrics = compute_metrics(result)
     print(metrics.summary(), file=sys.stderr)

@@ -9,6 +9,7 @@ host only seeds it and reads back the pose traces.
 
 from slam_tpu.runtime.loop import Runner, RunResult
 from slam_tpu.runtime.metrics import RunMetrics, compute_metrics, write_report
+from slam_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
 
 __all__ = [
     "Runner",
@@ -16,4 +17,6 @@ __all__ = [
     "RunMetrics",
     "compute_metrics",
     "write_report",
+    "save_checkpoint",
+    "load_checkpoint",
 ]

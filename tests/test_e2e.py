@@ -20,6 +20,10 @@ CASES = [
     ("EKF1", "example_webmap", None, 2400, 3.0),
     ("FASTSLAM1", "example_webmap", 60, 2400, 4.0),
     ("FASTSLAM2", "example_webmap", 60, 2400, 4.0),
+    ("FASTSLAM2", "example_loop2", 60, 2400, 1.0),
+    ("EKF1", "example_loop2", None, 2400, 1.0),
+    ("FASTSLAM1", "example_loop902", 60, 2400, 2.0),
+    ("EKF1", "example_loop902", None, 1600, 2.0),
 ]
 
 
