@@ -103,8 +103,14 @@ def ekf_predict(state: EKFState, v, g, Q, wheelbase: float, dt: float
         jnp.stack([dt * sg / wheelbase, v * dt * cg / wheelbase]),
     ]).astype(P.dtype)
 
-    P00 = Gv @ P[:3, :3] @ Gv.T + Gu @ jnp.asarray(Q, P.dtype) @ Gu.T
-    P0m = jnp.matmul(Gv, P[:3, 3:], precision=_HIGHEST)
+    # All covariance products at f32 (HIGHEST): the TPU default bf16 MXU
+    # precision injects ~4e-3 relative error per tick which random-walks
+    # P indefinite within ~50 observation cycles (measured: min
+    # eigenvalue -0.025, NaN at the next Cholesky).
+    mm = lambda a, b: jnp.matmul(a, b, precision=_HIGHEST)
+    P00 = mm(mm(Gv, P[:3, :3]), Gv.T) \
+        + mm(mm(Gu, jnp.asarray(Q, P.dtype)), Gu.T)
+    P0m = mm(Gv, P[:3, 3:])
     P = P.at[:3, :3].set(P00)
     P = P.at[:3, 3:].set(P0m)
     P = P.at[3:, :3].set(P0m.T)
@@ -248,6 +254,10 @@ def ekf_batch_update(state: EKFState, z, assoc, R) -> EKFState:
     x_new, P_new = cholesky_update(x, P, v.reshape(2 * K),
                                    RR, H.reshape(2 * K, N))
     x_new = x_new.at[2].set(wrap_angle(x_new[2]))
+    # Symmetrize: the subtractive P - W1 W1' form drifts off-symmetric
+    # in f32 over thousands of steps, eventually breaking the next
+    # Cholesky (observed on TPU; CPU f32 summation order survives).
+    P_new = 0.5 * (P_new + P_new.T)
     return state._replace(x=x_new, P=P_new)
 
 

@@ -65,7 +65,8 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
         # Batched Jacobians at every particle's pose for every matched
         # obs (the reference's per-particle computeJacobians loop,
         # fastslam1.cpp:91-118 -> core.cpp:666-713)...
-        J, v0, v1 = rbpf.observe_planes(state, z, slot, R)
+        gathered = rbpf.gather_landmarks(state, slot)
+        J, v0, v1 = rbpf.observe_planes(state, z, slot, R, gathered)
         # ...computeWeight: product over matched obs of N(v; 0, Sf) — a
         # masked log-sum (fastslam1.cpp:108-117 is linear-space and
         # underflows at scale)...
@@ -75,7 +76,7 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
         state = state._replace(logw=state.logw + jnp.sum(logl, axis=0))
         # ...then the per-landmark 2x2 EKF updates.
         state = rbpf.update_matched_features(state, slot, matched,
-                                             v0, v1, J)
+                                             v0, v1, J, gathered)
 
     state = rbpf.add_new_features(state, z, ids, is_new, R)
     if resample_fn is not None:

@@ -96,10 +96,13 @@ def gather_landmarks(state: ParticleState, slot):
     return lm[0], lm[1], lm_P[0], lm_P[1], lm_P[2]
 
 
-def observe_planes(state: ParticleState, z, slot, R):
+def observe_planes(state: ParticleState, z, slot, R, gathered=None):
     """Jacobian planes + wrapped innovations at each particle's pose for
-    each (gathered) observation slot. Returns (J, v0 [K,P], v1 [K,P])."""
-    lmx, lmy, p00, p01, p11 = gather_landmarks(state, slot)
+    each (gathered) observation slot. Returns (J, v0 [K,P], v1 [K,P]).
+    Pass ``gathered`` (from gather_landmarks) to reuse a prior gather."""
+    if gathered is None:
+        gathered = gather_landmarks(state, slot)
+    lmx, lmy, p00, p01, p11 = gathered
     r00, r01, r11 = R[0, 0], R[0, 1], R[1, 1]
     J = pk.jacobians_planes(state.xv[0][None, :], state.xv[1][None, :],
                             state.xv[2][None, :],
@@ -110,13 +113,15 @@ def observe_planes(state: ParticleState, z, slot, R):
 
 
 def update_matched_features(state: ParticleState, slot, matched,
-                            v0, v1, J) -> ParticleState:
+                            v0, v1, J, gathered=None) -> ParticleState:
     """Per-landmark 2x2 EKF updates for all (particle, matched-obs) pairs,
     then masked scatter back (featureUpdate, core.cpp:132-175).
 
     ``slot``/``matched``: [K]; ``v0``/``v1``/``J`` planes: [K, P].
     """
-    lmx, lmy, p00, p01, p11 = gather_landmarks(state, slot)
+    if gathered is None:
+        gathered = gather_landmarks(state, slot)
+    lmx, lmy, p00, p01, p11 = gathered
     upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
 
     L = state.capacity
@@ -158,8 +163,16 @@ def add_new_features(state: ParticleState, z, ids, is_new, R
 
 def resample(state: ParticleState, key, n_min, do_resample) -> ParticleState:
     """Neff-gated stratified resampling + ancestor gather
-    (resampleParticles, core.cpp:718-749)."""
-    idx, new_logw, _ = resample_particles(key, state.logw, n_min,
-                                          do_resample)
-    state = gather_particles(state, idx)
+    (resampleParticles, core.cpp:718-749).
+
+    The ancestor gather permutes the FULL particle state along the lane
+    axis — at 1M particles that is ~GBs of cross-lane traffic — so it
+    runs under lax.cond and is skipped entirely on the (common)
+    Neff >= n_min ticks."""
+    idx, new_logw, did = resample_particles(key, state.logw, n_min,
+                                            do_resample)
+    state = jax.lax.cond(did,
+                         lambda s: gather_particles(s, idx),
+                         lambda s: s,
+                         state)
     return state._replace(logw=new_logw)

@@ -59,6 +59,12 @@ def cholesky_update(x, P, v, R, H):
     PHt = mm(P, H.T)                 # [N, M]
     S = mm(H, PHt) + R
     S = 0.5 * (S + S.T)
+    # Small diagonal jitter keeps the factorization alive when f32
+    # accumulation error nudges S off PSD late in long runs (the
+    # reference adds the same style of epsilon in josephUpdate,
+    # core.cpp:315-316).
+    m = S.shape[-1]
+    S = S + 1e-6 * jnp.trace(S) / m * jnp.eye(m, dtype=S.dtype)
     L = jsl.cholesky(S, lower=True)  # [M, M]
     # W1 = PHt L^-T ; P -= W1 W1^T ; x += PHt S^-1 v
     W1 = jsl.solve_triangular(L, PHt.T, lower=True).T   # [N, M]

@@ -85,43 +85,48 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
                                 dtype=dtype)
     u = (gslot.astype(dtype) + dither) / jnp.asarray(N, dtype)  # [Pl]
 
-    out = {f: jnp.zeros_like(getattr(state, f)) for f in particle_fields}
-    visit = {f: getattr(state, f) for f in particle_fields}
-    visit_csum = csum_rel
-    visit_base = my_base
-    visit_total = local_total
-    visit_id = me
+    def run_ring(state):
+        out = {f: jnp.zeros_like(getattr(state, f))
+               for f in particle_fields}
+        visit = {f: getattr(state, f) for f in particle_fields}
+        visit_csum = csum_rel
+        visit_base = my_base
+        visit_total = local_total
+        visit_id = me
 
-    perm = [(i, (i + 1) % S) for i in range(S)]
+        perm = [(i, (i + 1) % S) for i in range(S)]
 
-    for _ in range(S):
-        # Does u fall into the visiting block's global weight interval?
-        hi = visit_base + visit_total
-        # The globally-last block absorbs the float tail (u may exceed
-        # the final cumsum by rounding).
-        hi = jnp.where(visit_id == S - 1, jnp.inf, hi)
-        valid = (u > visit_base) & (u <= hi)
-        idx = jnp.searchsorted(visit_csum, u - visit_base, side="left")
-        idx = jnp.clip(idx, 0, Pl - 1)
-        for f in particle_fields:
-            # Particle axis is the TRAILING axis of every field.
-            picked = visit[f][..., idx]
-            mask = valid.reshape((1,) * (picked.ndim - 1) + (Pl,))
-            out[f] = jnp.where(mask, picked, out[f])
+        for _ in range(S):
+            # Does u fall into the visiting block's global weight
+            # interval?
+            hi = visit_base + visit_total
+            # The globally-last block absorbs the float tail (u may
+            # exceed the final cumsum by rounding).
+            hi = jnp.where(visit_id == S - 1, jnp.inf, hi)
+            valid = (u > visit_base) & (u <= hi)
+            idx = jnp.searchsorted(visit_csum, u - visit_base,
+                                   side="left")
+            idx = jnp.clip(idx, 0, Pl - 1)
+            for f in particle_fields:
+                # Particle axis is the TRAILING axis of every field.
+                picked = visit[f][..., idx]
+                mask = valid.reshape((1,) * (picked.ndim - 1) + (Pl,))
+                out[f] = jnp.where(mask, picked, out[f])
 
-        # Rotate blocks around the ring.
-        visit = {f: lax.ppermute(v, axis, perm) for f, v in visit.items()}
-        visit_csum = lax.ppermute(visit_csum, axis, perm)
-        visit_base = lax.ppermute(visit_base, axis, perm)
-        visit_total = lax.ppermute(visit_total, axis, perm)
-        visit_id = lax.ppermute(visit_id, axis, perm)
+            # Rotate blocks around the ring.
+            visit = {f: lax.ppermute(v, axis, perm)
+                     for f, v in visit.items()}
+            visit_csum = lax.ppermute(visit_csum, axis, perm)
+            visit_base = lax.ppermute(visit_base, axis, perm)
+            visit_total = lax.ppermute(visit_total, axis, perm)
+            visit_id = lax.ppermute(visit_id, axis, perm)
+        return state._replace(**out)
 
-    # Apply the gate: keep original state when no resampling happened.
-    updates = {}
-    for f in particle_fields:
-        orig = getattr(state, f)
-        updates[f] = jnp.where(need, out[f], orig)
-    new_state = state._replace(**updates)
+    # The ring exchange moves the whole particle state once around the
+    # mesh — run it only when the Neff gate fires (`need` is derived
+    # from psums, hence uniform across shards, so the cond branch is
+    # taken collectively).
+    new_state = lax.cond(need, run_ring, lambda s: s, state)
 
     uniform = jnp.full_like(logw, -jnp.log(jnp.asarray(N, dtype)))
     new_logw = jnp.where(need, uniform, jnp.log(jnp.maximum(wn, 1e-38)))
