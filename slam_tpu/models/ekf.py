@@ -351,6 +351,9 @@ class EkfSlam:
     """Config-bound EKF-SLAM with jitted per-tick and per-observe steps,
     sharing the estimator interface of FastSlam1/FastSlam2."""
 
+    # Fields the per-tick predict may modify (run-loop freeze hint).
+    PREDICT_TOUCHED = ("x", "P")
+
     def __init__(self, config, n_map_landmarks: int):
         self.config = config
         self.n_map = n_map_landmarks

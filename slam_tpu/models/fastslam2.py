@@ -215,6 +215,9 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
 class FastSlam2:
     """Config-bound FastSLAM 2.0 with jitted step functions."""
 
+    # Fields the per-tick predict may modify (run-loop freeze hint).
+    PREDICT_TOUCHED = ("xv", "Pv")
+
     def __init__(self, config: SlamConfig, n_map_landmarks: int,
                  use_pallas: bool | None = None):
         self.config = config

@@ -96,17 +96,44 @@ def estimate_position(state: ParticleState) -> jnp.ndarray:
     return jnp.concatenate([xy, theta[None]])
 
 
+def pack_particle_planes(state: ParticleState) -> jnp.ndarray:
+    """Concatenate all per-particle fields into one [C, P] matrix
+    (C = 10 + 5L channels)."""
+    P = state.n_particles
+    L = state.capacity
+    return jnp.concatenate([
+        state.logw[None, :], state.xv, state.Pv,
+        state.lm.reshape(2 * L, P), state.lm_P.reshape(3 * L, P)],
+        axis=0)
+
+
+def unpack_particle_planes(state: ParticleState, flat) -> ParticleState:
+    """Inverse of pack_particle_planes."""
+    P = state.n_particles
+    L = state.capacity
+    c1, c2, c3, c4 = 1, 4, 10, 10 + 2 * L
+    return state._replace(
+        logw=flat[0],
+        xv=flat[c1:c2],
+        Pv=flat[c2:c3],
+        lm=flat[c3:c4].reshape(2, L, P),
+        lm_P=flat[c4:].reshape(3, L, P),
+    )
+
+
 def gather_particles(state: ParticleState, idx) -> ParticleState:
     """Reindex the per-particle arrays by ancestor indices (the
     copy-and-keep step of resampleParticles, core.cpp:736-748). ``idx``
-    indexes the trailing particle axis."""
-    return state._replace(
-        logw=state.logw[idx],
-        xv=state.xv[:, idx],
-        Pv=state.Pv[:, idx],
-        lm=state.lm[:, :, idx],
-        lm_P=state.lm_P[:, :, idx],
-    )
+    indexes the trailing particle axis.
+
+    Implementation: pack all fields into one [C, P] matrix, transpose,
+    gather ROWS, transpose back. A direct gather along the lane (minor)
+    axis runs ~40x slower on TPU than the two transposes + a major-axis
+    row gather (measured at 1M particles: 250 ms vs the transpose
+    pipeline)."""
+    flat = pack_particle_planes(state)
+    picked = flat.T[idx].T
+    return unpack_particle_planes(state, picked)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,9 @@ from slam_tpu.parallel.resampling import (
 class _ShardedFastSlamBase:
     """Common scaffolding: builds shard_map'ed predict/update/pose."""
 
+    # Fields the per-tick predict may modify (run-loop freeze hint).
+    PREDICT_TOUCHED = ("xv", "Pv")
+
     _predict_fn = None   # staticmethod in subclasses
     _update_fn = None
 

@@ -24,6 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax import lax
+import numpy as np
 
 
 def _normalized_weights(logw, axis: str):
@@ -86,9 +87,17 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
     u = (gslot.astype(dtype) + dither) / jnp.asarray(N, dtype)  # [Pl]
 
     def run_ring(state):
-        out = {f: jnp.zeros_like(getattr(state, f))
-               for f in particle_fields}
-        visit = {f: getattr(state, f) for f in particle_fields}
+        # Pack the particle fields into one [C, Pl] matrix: the ring
+        # moves a single buffer, and the per-step ancestor pick is a
+        # transposed ROW gather (a direct lane-axis gather is ~40x
+        # slower on TPU — see models.particles.gather_particles).
+        shapes = {f: getattr(state, f).shape for f in particle_fields}
+        flatT = jnp.concatenate(
+            [getattr(state, f).reshape(-1, Pl) for f in particle_fields],
+            axis=0).T                                   # [Pl, C]
+        out = jnp.zeros_like(flatT)
+
+        visit = flatT
         visit_csum = csum_rel
         visit_base = my_base
         visit_total = local_total
@@ -107,20 +116,24 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
             idx = jnp.searchsorted(visit_csum, u - visit_base,
                                    side="left")
             idx = jnp.clip(idx, 0, Pl - 1)
-            for f in particle_fields:
-                # Particle axis is the TRAILING axis of every field.
-                picked = visit[f][..., idx]
-                mask = valid.reshape((1,) * (picked.ndim - 1) + (Pl,))
-                out[f] = jnp.where(mask, picked, out[f])
+            out = jnp.where(valid[:, None], visit[idx], out)
 
             # Rotate blocks around the ring.
-            visit = {f: lax.ppermute(v, axis, perm)
-                     for f, v in visit.items()}
+            visit = lax.ppermute(visit, axis, perm)
             visit_csum = lax.ppermute(visit_csum, axis, perm)
             visit_base = lax.ppermute(visit_base, axis, perm)
             visit_total = lax.ppermute(visit_total, axis, perm)
             visit_id = lax.ppermute(visit_id, axis, perm)
-        return state._replace(**out)
+
+        flat_out = out.T                                # [C, Pl]
+        updates = {}
+        row = 0
+        for f in particle_fields:
+            shape = shapes[f]
+            n_rows = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+            updates[f] = flat_out[row:row + n_rows].reshape(shape)
+            row += n_rows
+        return state._replace(**updates)
 
     # The ring exchange moves the whole particle state once around the
     # mesh — run it only when the Neff gate fires (`need` is derived

@@ -47,6 +47,24 @@ class RunResult(NamedTuple):
     compile_seconds: float
 
 
+def _freeze(done, new_tree, old_tree, touched: tuple | None = None):
+    """where(done, old, new) per leaf. With ``touched`` (NamedTuple field
+    names the transition may modify), untouched fields pass straight
+    through — at 1M particles the landmark planes are ~700 MB and predict
+    never writes them, so selecting on them per tick would dominate the
+    superstep."""
+    if touched is None:
+        return jax.tree.map(
+            lambda new, old: jnp.where(done, old, new),
+            new_tree, old_tree)
+    updates = {
+        f: jax.tree.map(lambda new, old: jnp.where(done, old, new),
+                        getattr(new_tree, f), getattr(old_tree, f))
+        for f in touched if hasattr(new_tree, f)
+    }
+    return new_tree._replace(**updates)
+
+
 class Runner:
     """Config + map + method bound run driver (the reference's
     SLAMBackendApplication + wrapper selection,
@@ -103,11 +121,10 @@ class Runner:
             key, sub = jax.random.split(key)
             new_est = self.est.predict(est_state, sub, controls.v_noisy,
                                        controls.g_noisy, phi)
-            # Freeze both sim and estimator once the run is done.
-            est_state = jax.tree.map(
-                lambda new, old: jnp.where(sim_state.vehicle.done, old,
-                                           new),
-                new_est, est_state)
+            # Freeze the estimator once the run is done.
+            est_state = _freeze(
+                sim_state.vehicle.done, new_est, est_state,
+                touched=getattr(self.est, "PREDICT_TOUCHED", None))
             # Dead-reckoning odometry: integrate the NOISY controls from
             # the superstep origin — an independent relative-pose
             # measurement for the pose-graph refinement stage.
@@ -125,9 +142,7 @@ class Runner:
         sim_state, obs = self.sim.observe_step(sim_state)
         key, sub = jax.random.split(key)
         new_est = self.est.update(est_state, sub, obs.z, obs.ids, obs.mask)
-        est_state = jax.tree.map(
-            lambda new, old: jnp.where(sim_state.vehicle.done, old, new),
-            new_est, est_state)
+        est_state = _freeze(sim_state.vehicle.done, new_est, est_state)
 
         out = (sim_state.vehicle.pose,
                self.est.pose(est_state),
