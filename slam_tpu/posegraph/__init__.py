@@ -13,3 +13,7 @@ from slam_tpu.posegraph.ba import (
 )
 
 __all__ = ["BAProblem", "problem_from_run", "solve_ba"]
+
+from slam_tpu.posegraph.distributed import solve_ba_sharded  # noqa: E402
+
+__all__.append("solve_ba_sharded")

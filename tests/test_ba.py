@@ -105,3 +105,20 @@ def test_refine_filter_run_improves_ate():
     # The refinement must not degrade the trajectory, and typically
     # improves it.
     assert ba_rmse < filt_rmse * 1.05, (ba_rmse, filt_rmse)
+
+
+def test_sharded_ba_matches_single_chip():
+    """Distributed Schur BA on the 8-dev CPU mesh == single-chip solver
+    (same math, reduced over shards)."""
+    import jax
+    from slam_tpu.parallel import make_mesh
+    from slam_tpu.posegraph import solve_ba_sharded
+
+    prob, poses_true, _ = _synthetic_problem(T=24, L=16, K=5, seed=1)
+    mesh = make_mesh(8, axis="l")
+    p1, l1 = solve_ba(prob, iters=6, damping=1e-4)
+    p2, l2 = solve_ba_sharded(prob, mesh, iters=6, damping=1e-4)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-3, atol=1e-3)
