@@ -88,6 +88,23 @@ def associate_known(state: ParticleState, ids, zmask):
     return assoc, is_new
 
 
+def scatter_slots(planes, tgt, vals, valid):
+    """Write ``vals`` [C, K, P] into landmark slots ``tgt`` [K] of
+    ``planes`` [C, L, P], masked by ``valid`` [K].
+
+    Not an XLA scatter: a one-hot contraction over K (slots are unique),
+    which maps onto the MXU instead of TPU scatter's serialized
+    dynamic-update loop. At 1M particles this is the difference between
+    ~0.5 ms and tens of ms per observe."""
+    L = planes.shape[1]
+    sel = ((tgt[:, None] == jnp.arange(L)[None, :])
+           & valid[:, None]).astype(planes.dtype)       # [K, L]
+    hit = jnp.sum(sel, axis=0)                          # [L] in {0, 1}
+    new = jnp.einsum("kl,ckp->clp", sel, vals,
+                     precision=jax.lax.Precision.HIGHEST)
+    return planes * (1.0 - hit)[None, :, None] + new
+
+
 def gather_landmarks(state: ParticleState, slot):
     """Gather [K]-indexed landmark planes: returns (lmx, lmy, p00, p01,
     p11), each [K, P]."""
@@ -124,12 +141,11 @@ def update_matched_features(state: ParticleState, slot, matched,
     lmx, lmy, p00, p01, p11 = gathered
     upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
 
-    L = state.capacity
-    tgt = jnp.where(matched, slot, L)     # OOB -> dropped
-    lm = state.lm.at[:, tgt, :].set(
-        jnp.stack([upd.nx, upd.ny]), mode="drop")
-    lm_P = state.lm_P.at[:, tgt, :].set(
-        jnp.stack([upd.np00, upd.np01, upd.np11]), mode="drop")
+    lm = scatter_slots(state.lm, slot,
+                       jnp.stack([upd.nx, upd.ny]), matched)
+    lm_P = scatter_slots(state.lm_P, slot,
+                         jnp.stack([upd.np00, upd.np01, upd.np11]),
+                         matched)
     return state._replace(lm=lm, lm_P=lm_P)
 
 
@@ -143,7 +159,6 @@ def add_new_features(state: ParticleState, z, ids, is_new, R
     offset = jnp.cumsum(is_new.astype(jnp.int32)) - is_new.astype(jnp.int32)
     slot = state.n + offset
     ok = is_new & (slot < L)
-    tgt = jnp.where(ok, slot, L)                              # [K]
 
     nx, ny, p00, p01, p11 = pk.feature_init_planes(
         state.xv[0][None, :], state.xv[1][None, :],
@@ -151,9 +166,9 @@ def add_new_features(state: ParticleState, z, ids, is_new, R
         z[:, 0][:, None], z[:, 1][:, None],
         R[0, 0], R[0, 1], R[1, 1])                            # [K, P]
 
-    lm = state.lm.at[:, tgt, :].set(jnp.stack([nx, ny]), mode="drop")
-    lm_P = state.lm_P.at[:, tgt, :].set(
-        jnp.stack([p00, p01, p11]), mode="drop")
+    lm = scatter_slots(state.lm, slot, jnp.stack([nx, ny]), ok)
+    lm_P = scatter_slots(state.lm_P, slot,
+                         jnp.stack([p00, p01, p11]), ok)
 
     n = state.n + jnp.sum(ok, dtype=jnp.int32)
     table = state.da_table.at[

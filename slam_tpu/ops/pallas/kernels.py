@@ -191,9 +191,8 @@ def fs1_observe_tpu(state, z, slot, matched, R,
         state.xv, lmx, lmy, p00, p01, p11, z, matched,
         jnp.asarray(R, state.xv.dtype), block=block, interpret=interpret)
 
-    L = state.capacity
-    tgt = jnp.where(matched, slot, L)
-    lm = state.lm.at[:, tgt, :].set(jnp.stack([nx, ny]), mode="drop")
-    lm_P = state.lm_P.at[:, tgt, :].set(
-        jnp.stack([np00, np01, np11]), mode="drop")
+    lm = rbpf.scatter_slots(state.lm, slot, jnp.stack([nx, ny]),
+                            matched)
+    lm_P = rbpf.scatter_slots(state.lm_P, slot,
+                              jnp.stack([np00, np01, np11]), matched)
     return state._replace(logw=state.logw + dlogw[0], lm=lm, lm_P=lm_P)
