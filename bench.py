@@ -62,11 +62,14 @@ def bench_run(method: str, n_particles, n_ticks: int = 4000, seed=3):
 
 def bench_particle_throughput(n_particles=1_000_000, n_supersteps=8):
     """particles/sec at 1M particles: FS1 observation supersteps
-    (8 predict ticks + weight/update/resample) on the webmap."""
+    (8 predict ticks + weight/update/resample) on the webmap. Uses the
+    hardware-fast rbg PRNG (the threefry stream alone costs ~5 ms/tick
+    at this scale)."""
     import jax
     from slam_tpu.runtime import Runner
     cfg, slam_map = load_workload()
-    runner = Runner(cfg, slam_map, "FASTSLAM1", n_particles=n_particles)
+    runner = Runner(cfg, slam_map, "FASTSLAM1", n_particles=n_particles,
+                    rng_impl="rbg")
     period = cfg.steps_per_observe
     n_ticks = n_supersteps * period
     try:

@@ -72,11 +72,13 @@ class Runner:
 
     def __init__(self, config: SlamConfig, slam_map: SlamMap,
                  method: str = "EKF1", n_particles: int | None = None,
-                 estimator=None):
+                 estimator=None, rng_impl: str | None = None):
         self.config = config
         self.map = slam_map
         self.method = method.upper()
-        self.sim = Simulator(config, slam_map)
+        # rng_impl="rbg" switches every PRNG stream (sim noise, particle
+        # sampling, resampling dither) to the hardware-fast generator.
+        self.sim = Simulator(config, slam_map, rng_impl=rng_impl)
         # ``estimator``: prebuilt estimator override (e.g. a sharded
         # FastSlam from slam_tpu.parallel) sharing the same interface.
         self.est = estimator if estimator is not None else make_estimator(
@@ -172,7 +174,7 @@ class Runner:
 
         sim_state = self.sim.init(seed=seed or cfg.SWITCH_SEED_RANDOM)
         est_state = self.est.init(self.n_particles)
-        key = jax.random.PRNGKey(seed + 1)
+        key = self.sim.make_key(seed + 1)
 
         program = self._build(n_supersteps)
         t0 = time.perf_counter()
@@ -225,7 +227,7 @@ class Runner:
 
         sim_state = self.sim.init(seed=seed or cfg.SWITCH_SEED_RANDOM)
         est_state = self.est.init(self.n_particles)
-        key = jax.random.PRNGKey(seed + 1)
+        key = self.sim.make_key(seed + 1)
         start = 0
         if resume and os.path.exists(ckpt_path + ".json"):
             sim_state, est_state, key, start = load_checkpoint(

@@ -72,7 +72,7 @@ def stream_run(runner, seed=0, n_ticks=None, plot=None,
 
     sim_state = runner.sim.init(seed=seed or cfg.SWITCH_SEED_RANDOM)
     est_state = runner.est.init(runner.n_particles)
-    key = jax.random.PRNGKey(seed + 1)
+    key = runner.sim.make_key(seed + 1)
 
     superstep = jax.jit(lambda c: runner._superstep(c, None))
 

@@ -66,3 +66,13 @@ def test_write_report(tmp_path):
     errors = np.loadtxt(os.path.join(out, "errors.txt"))
     pos = np.loadtxt(os.path.join(out, "positions.txt"), delimiter=",")
     assert errors.shape[0] == pos.shape[0]
+
+
+def test_rbg_rng_impl_runs():
+    """The fast-RNG path (rng_impl='rbg') produces a sane run."""
+    slam_map = read_map_file(f"{DATA}/example_loop1.mat")
+    cfg = SlamConfig.from_ini(f"{DATA}/example_loop1.ini")
+    r = Runner(cfg, slam_map, "FASTSLAM1", n_particles=30,
+               rng_impl="rbg").run(seed=5, n_ticks=800)
+    m = compute_metrics(r)
+    assert np.isfinite(m.ate_rmse) and m.ate_rmse < 3.0
