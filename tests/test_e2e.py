@@ -76,3 +76,13 @@ def test_rbg_rng_impl_runs():
                rng_impl="rbg").run(seed=5, n_ticks=800)
     m = compute_metrics(r)
     assert np.isfinite(m.ate_rmse) and m.ate_rmse < 3.0
+
+
+def test_time_phases_smoke():
+    from slam_tpu.runtime.profiling import time_phases
+    slam_map = read_map_file(f"{DATA}/example_loop1.mat")
+    cfg = SlamConfig.from_ini(f"{DATA}/example_loop1.ini")
+    runner = Runner(cfg, slam_map, "FASTSLAM1", n_particles=16)
+    t = time_phases(runner, iters=2)
+    assert t["predict_tick_s"] > 0 and t["observe_update_s"] > 0
+    assert t["steps_per_observe"] == cfg.steps_per_observe
