@@ -147,6 +147,22 @@ def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=5):
 def main():
     t0 = time.time()
     m = bench_run("FASTSLAM1", n_particles=100)
+
+    baseline = DEFAULT_BASELINE_STEPS_PER_SEC
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            baseline = float(json.load(fh).get(
+                "fastslam1_webmap_100p_steps_per_sec", baseline))
+
+    # Primary metric out FIRST (the driver's one-line contract survives
+    # even if a secondary bench crashes or the run is cut short).
+    print(json.dumps({
+        "metric": "slam_steps_per_sec_chip_webmap_fastslam1_100p",
+        "value": round(m.steps_per_second, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(m.steps_per_second / baseline, 3),
+    }), flush=True)
+
     try:
         bench_run("EKF1", None, n_ticks=2000)
         bench_run("FASTSLAM2", n_particles=100, n_ticks=2000)
@@ -158,20 +174,7 @@ def main():
         bench_ba_10k()
     except Exception as e:
         _log(f"secondary benches failed: {type(e).__name__}: {e}")
-
-    baseline = DEFAULT_BASELINE_STEPS_PER_SEC
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as fh:
-            baseline = float(json.load(fh).get(
-                "fastslam1_webmap_100p_steps_per_sec", baseline))
-
     _log(f"total bench time {time.time() - t0:.1f}s")
-    print(json.dumps({
-        "metric": "slam_steps_per_sec_chip_webmap_fastslam1_100p",
-        "value": round(m.steps_per_second, 1),
-        "unit": "steps/s",
-        "vs_baseline": round(m.steps_per_second / baseline, 3),
-    }))
 
 
 if __name__ == "__main__":
