@@ -49,8 +49,11 @@ def main(argv: list[str] | None = None) -> int:
         print(USAGE)
         return 0
 
-    flags = apply_cli_overrides(argv)
     use_plot = "-plot" in argv
+    # Value-less switches must not swallow the next token in the
+    # reference-style "-KEY value" pairing.
+    argv = [a for a in argv if a != "-plot"]
+    flags = apply_cli_overrides(argv)
 
     map_path = flags.pop("m", None)
     if not map_path:
