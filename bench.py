@@ -114,7 +114,10 @@ def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=5):
     poses = np.stack([200 * np.cos(ang), 200 * np.sin(ang),
                       ang + np.pi / 2], -1).astype(np.float32)
     lms = rng.uniform(-300, 300, (L, 2)).astype(np.float32)
-    idx = rng.integers(0, L, (T, K)).astype(np.int32)
+    # Each keyframe observes its K nearest landmarks (realistic ranges;
+    # far random assignments make the linearization useless).
+    d_all = np.linalg.norm(lms[None, :, :] - poses[:, None, :2], axis=-1)
+    idx = np.argsort(d_all, axis=1)[:, :K].astype(np.int32)
     d = lms[idx] - poses[:, None, :2]
     z = np.stack([np.linalg.norm(d, axis=-1),
                   np.arctan2(d[..., 1], d[..., 0]) - poses[:, 2:3]],
