@@ -160,20 +160,27 @@ def add_new_features(state: ParticleState, z, ids, is_new, R
     slot = state.n + offset
     ok = is_new & (slot < L)
 
-    nx, ny, p00, p01, p11 = pk.feature_init_planes(
-        state.xv[0][None, :], state.xv[1][None, :],
-        state.xv[2][None, :],
-        z[:, 0][:, None], z[:, 1][:, None],
-        R[0, 0], R[0, 1], R[1, 1])                            # [K, P]
+    def do_add(state):
+        nx, ny, p00, p01, p11 = pk.feature_init_planes(
+            state.xv[0][None, :], state.xv[1][None, :],
+            state.xv[2][None, :],
+            z[:, 0][:, None], z[:, 1][:, None],
+            R[0, 0], R[0, 1], R[1, 1])                        # [K, P]
 
-    lm = scatter_slots(state.lm, slot, jnp.stack([nx, ny]), ok)
-    lm_P = scatter_slots(state.lm_P, slot,
-                         jnp.stack([p00, p01, p11]), ok)
+        lm = scatter_slots(state.lm, slot, jnp.stack([nx, ny]), ok)
+        lm_P = scatter_slots(state.lm_P, slot,
+                             jnp.stack([p00, p01, p11]), ok)
+        n = state.n + jnp.sum(ok, dtype=jnp.int32)
+        table = state.da_table.at[
+            jnp.where(ok, ids, state.da_table.shape[0])].set(
+            slot, mode="drop")
+        return state._replace(lm=lm, lm_P=lm_P, n=n, da_table=table)
 
-    n = state.n + jnp.sum(ok, dtype=jnp.int32)
-    table = state.da_table.at[
-        jnp.where(ok, ids, state.da_table.shape[0])].set(slot, mode="drop")
-    return state._replace(lm=lm, lm_P=lm_P, n=n, da_table=table)
+    # New features only appear while the map is being discovered; once
+    # the id table is complete this is a guaranteed no-op — the cond
+    # skips the [K, P] initialization AND the full landmark-buffer
+    # rewrite (~1.4 GB at 1M particles) on every later observe.
+    return jax.lax.cond(jnp.any(ok), do_add, lambda s: s, state)
 
 
 def resample(state: ParticleState, key, n_min, do_resample) -> ParticleState:
