@@ -15,7 +15,6 @@ init/predict/update/pose interface as the single-chip classes.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ from slam_tpu.models import rbpf
 from slam_tpu.models.fastslam1 import fs1_predict, fs1_update
 from slam_tpu.models.fastslam2 import fs2_predict, fs2_update
 from slam_tpu.models.particles import ParticleState, init_particles
-from slam_tpu.parallel.mesh import PARTICLE_AXIS, particle_state_specs
+from slam_tpu.parallel.mesh import particle_state_specs
 from slam_tpu.parallel.resampling import (
     ring_resample,
     sharded_estimate_position,

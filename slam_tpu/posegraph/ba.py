@@ -26,7 +26,6 @@ axis shards over a mesh with a psum over shards (solve_ba(mesh=...)).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -46,8 +46,6 @@ def _time_call(fn, *args, warmup: int = 1, iters: int = 10) -> float:
 def time_phases(runner, seed: int = 0, iters: int = 10) -> dict:
     """Per-phase timing of the estimator on ``runner``'s workload:
     predict tick, observe update, and the full superstep."""
-    import jax.numpy as jnp
-
     sim_state = runner.sim.init(seed=seed)
     est_state = runner.est.init(runner.n_particles)
     key = jax.random.PRNGKey(seed + 1)

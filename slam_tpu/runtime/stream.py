@@ -17,7 +17,7 @@ import numpy as np
 
 from slam_tpu.geometry import covariance_ellipse, laser_lines
 from slam_tpu.models.ekf import EKFState
-from slam_tpu.models.particles import ParticleState, unpack_sym2
+from slam_tpu.models.particles import ParticleState
 
 
 def _configure_plot(plot, runner, sim_name):

@@ -1,7 +1,5 @@
 """CLI shell tests (SLAMBackendApplication parity)."""
 
-import os
-
 import numpy as np
 
 from slam_tpu.cli import main

@@ -1,7 +1,6 @@
 """Unit tests for the estimator building blocks (EKF pieces, RBPF
 pieces) against small closed-form scenarios."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

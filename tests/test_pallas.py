@@ -3,10 +3,8 @@
 TPU). This systematizes the reference's DATA_DUMP FPGA-vs-software
 equivalence checks (core.cpp:512-563)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from slam_tpu.models import rbpf
 from slam_tpu.models.particles import init_particles

@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -36,8 +35,6 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    import jax.numpy as jnp
-
     from slam_tpu.config import SlamConfig
     from slam_tpu.maps import read_map_file, synthetic_map
     from slam_tpu.parallel import ShardedFastSlam1, make_mesh
