@@ -85,9 +85,14 @@ class _ShardedFastSlamBase:
                 static_ring_size=S)
             return new_state._replace(logw=new_logw)
 
+        # The fused Pallas observe kernel operates on the shard-local
+        # particle block; enable it on TPU like the single-chip classes.
+        use_pallas = jax.default_backend() == "tpu"
+
         def update_local(state, key, z, ids, zmask, n_min):
             return update_fn(state, key, z, ids, zmask, Re, n_min,
                              do_resample=bool(cfg.SWITCH_RESAMPLE),
+                             use_pallas=use_pallas,
                              resample_fn=collective_resample)
 
         def pose_local(state):
