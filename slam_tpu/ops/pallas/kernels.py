@@ -28,7 +28,18 @@ from slam_tpu.geometry import wrap_angle
 from slam_tpu.ops import planes as pk
 
 LANE = 128
-DEFAULT_BLOCK = 2048
+DEFAULT_BLOCK = None  # auto (VMEM-aware)
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+_LIVE_PLANES = 22  # inputs + outputs + peak temporaries, per [K, B] f32
+
+
+def _auto_block(K: int) -> int:
+    """Largest lane-block that keeps ~22 live [K, B] f32 planes within
+    the VMEM budget — fewer grid programs means less per-program
+    overhead at large particle counts."""
+    b = _VMEM_BUDGET_BYTES // (_LIVE_PLANES * max(K, 1) * 4)
+    b = min(8192, max(LANE, (b // LANE) * LANE))
+    return int(b)
 
 
 def _pad_lanes(x, P_pad):
@@ -75,7 +86,8 @@ def _jacobian_kernel(xv_ref, lmx_ref, lmy_ref, p00_ref, p01_ref,
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def jacobians_tpu(xv, lmx, lmy, p00, p01, p11, R,
-                  block: int = DEFAULT_BLOCK, interpret: bool = False):
+                  block: int | None = DEFAULT_BLOCK,
+                  interpret: bool = False):
     """Batched range-bearing Jacobians + innovation covariance.
 
     Args: xv [3, P]; lmx/lmy/p00/p01/p11 [K, P] gathered landmark planes;
@@ -83,7 +95,12 @@ def jacobians_tpu(xv, lmx, lmy, p00, p01, p11, R,
     of the FPGA accelerator's zp/Hf/Hv/Sf output block (core.cpp:624-664).
     """
     K, P = lmx.shape
-    P_pad = -(-P // LANE) * LANE
+    block = block or _auto_block(K)
+    # Pad P up to a whole number of blocks (block is LANE-aligned), but
+    # never beyond one LANE-aligned block for small P.
+    if P <= block:
+        block = -(-P // LANE) * LANE
+    P_pad = -(-P // block) * block
     args = [_pad_lanes(x, P_pad) for x in (xv, lmx, lmy, p00, p01, p11)]
     r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
                         xv.dtype).reshape(1, 3)
@@ -142,9 +159,13 @@ def _observe_kernel(xv_ref, lmx_ref, lmy_ref, p00_ref, p01_ref, p11_ref,
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def _observe_call(xv, lmx, lmy, p00, p01, p11, z, matched, R,
-                  block: int = DEFAULT_BLOCK, interpret: bool = False):
+                  block: int | None = DEFAULT_BLOCK,
+                  interpret: bool = False):
     K, P = lmx.shape
-    P_pad = -(-P // LANE) * LANE
+    block = block or _auto_block(K)
+    if P <= block:
+        block = -(-P // LANE) * LANE
+    P_pad = -(-P // block) * block
     args = [_pad_lanes(x, P_pad) for x in (xv, lmx, lmy, p00, p01, p11)]
     z0 = jnp.broadcast_to(z[:, 0:1], (K, LANE)).astype(xv.dtype)
     z1 = jnp.broadcast_to(z[:, 1:2], (K, LANE)).astype(xv.dtype)
