@@ -79,3 +79,40 @@ def test_native_telemetry_frames_match_python():
     py.close()
     server.close()
     server2.close()
+
+
+def test_streaming_with_native_publisher():
+    """A short streaming run through the C++ publisher reaches a local
+    receiver with the expected message sequence."""
+    import threading
+
+    from slam_tpu.config import SlamConfig
+    from slam_tpu.runtime import Runner
+    from slam_tpu.runtime.telemetry import ZmqPairSocket
+
+    ep = "tcp://127.0.0.1:45459"
+    server = ZmqPairSocket(ep, bind=True)
+    received = []
+
+    def drain():
+        while True:
+            frames = server.recv_multipart()
+            received.append(frames[0].decode())
+            if frames[0] == b"endPlot":
+                return
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+
+    slam_map = read_map_file(f"{MAPS}/example_loop1.mat")
+    cfg = SlamConfig.from_ini(f"{MAPS}/example_loop1.ini")
+    runner = Runner(cfg, slam_map, "FASTSLAM1", n_particles=12)
+    plot = NativeNetworkPlot(ep)
+    result = runner.run_streaming(seed=1, n_ticks=160, plot=plot)
+    plot.close()
+    t.join(timeout=30)
+    server.close()
+
+    assert received.count("plot") == len(result.true_pose)
+    assert "setParticles" in received          # FastSLAM cloud path
+    assert received[-1] == "endPlot"
