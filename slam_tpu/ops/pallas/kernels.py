@@ -29,16 +29,16 @@ from slam_tpu.ops import planes as pk
 
 LANE = 128
 DEFAULT_BLOCK = None  # auto (VMEM-aware)
-_VMEM_BUDGET_BYTES = 7 * 1024 * 1024   # half of VMEM, double-buffered
-_LIVE_PLANES = 22  # inputs + outputs + peak temporaries, per [K, B] f32
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# Effective live [K, B] f32 planes including Mosaic's double-buffered
+# grid I/O: measured 18.8 MB at block=8064, K=14 => ~42 plane-equivalents.
+_LIVE_PLANES = 42
 
 
 def _auto_block(K: int) -> int:
-    """Largest lane-block that keeps ~22 live [K, B] f32 planes within
-    the VMEM budget (grid I/O is double-buffered, so target ~half of the
-    16 MB) — fewer grid programs means less per-program overhead at
-    large particle counts. Measured OOM at block 8064 with K=14
-    (18.8 MB); 4096 caps the worst case comfortably."""
+    """Largest lane-block that keeps the kernel's working set within the
+    VMEM budget — fewer grid programs means less per-program overhead at
+    large particle counts."""
     b = _VMEM_BUDGET_BYTES // (_LIVE_PLANES * max(K, 1) * 4)
     b = min(4096, max(LANE, (b // LANE) * LANE))
     return int(b)
