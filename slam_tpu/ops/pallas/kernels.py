@@ -40,7 +40,9 @@ def _auto_block(K: int) -> int:
     VMEM budget — fewer grid programs means less per-program overhead at
     large particle counts."""
     b = _VMEM_BUDGET_BYTES // (_LIVE_PLANES * max(K, 1) * 4)
-    b = min(4096, max(LANE, (b // LANE) * LANE))
+    # Cap at the production-proven block; raise after a live-compile
+    # validation of the VMEM model at larger blocks.
+    b = min(2048, max(LANE, (b // LANE) * LANE))
     return int(b)
 
 
