@@ -144,7 +144,13 @@ class Runner:
         sim_state, obs = self.sim.observe_step(sim_state)
         key, sub = jax.random.split(key)
         new_est = self.est.update(est_state, sub, obs.z, obs.ids, obs.mask)
-        est_state = _freeze(sim_state.vehicle.done, new_est, est_state)
+        # Freeze-on-done as a cond, not a where: a per-leaf select reads
+        # both full trees every superstep (~1.5 GB at 1M particles);
+        # the cond only forwards buffers.
+        est_state = jax.lax.cond(sim_state.vehicle.done,
+                                 lambda old, new: old,
+                                 lambda old, new: new,
+                                 est_state, new_est)
 
         out = (sim_state.vehicle.pose,
                self.est.pose(est_state),
