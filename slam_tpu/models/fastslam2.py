@@ -166,7 +166,13 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     any_obs = jnp.any(zmask)
 
     xv0, Pv0 = state.xv, state.Pv
-    xv_r, Pv_r = _refine_proposal(state, z, slot, matched, R)
+    if use_pallas:
+        from slam_tpu.ops.pallas import fs2_refine_tpu
+        gathered = rbpf.gather_landmarks(state, slot)
+        xv_r, Pv_r = fs2_refine_tpu(state.xv, state.Pv, *gathered,
+                                    z, matched, R)
+    else:
+        xv_r, Pv_r = _refine_proposal(state, z, slot, matched, R)
     Pv_r_t = tuple(Pv_r)
 
     # Sample the proposal (multivariateGauss, fastslam2.cpp:353).

@@ -17,7 +17,8 @@ VPU rather than translated:
 
 from slam_tpu.ops.pallas.kernels import (
     fs1_observe_tpu,
+    fs2_refine_tpu,
     jacobians_tpu,
 )
 
-__all__ = ["jacobians_tpu", "fs1_observe_tpu"]
+__all__ = ["jacobians_tpu", "fs1_observe_tpu", "fs2_refine_tpu"]

@@ -203,6 +203,98 @@ def _observe_call(xv, lmx, lmy, p00, p01, p11, z, matched, R,
     return [o[..., :P] for o in outs]
 
 
+# ---------------------------------------------------------------------------
+# Kernel 3: fused FastSLAM2 proposal refinement
+# ---------------------------------------------------------------------------
+
+def _refine_kernel(xv_ref, pv_ref, lmx_ref, lmy_ref, p00_ref, p01_ref,
+                   p11_ref, zm_ref, r_ref, xvr_ref, pvr_ref):
+    """Sequential per-feature Gaussian proposal refinement
+    (sampleProposal, fastslam2.cpp:321-357), fully VMEM-resident: the
+    K-step pose re-linearization chain runs on registers/VMEM instead of
+    round-tripping K x (xv, Pv, Jacobian) planes through HBM. K is small
+    and static, so the loop is unrolled."""
+    K = lmx_ref.shape[0]
+    xv = (xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :])
+    Pv = tuple(pv_ref[i:i + 1, :] for i in range(6))
+    r00, r01, r11 = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
+    for k in range(K):
+        J = pk.jacobians_planes(
+            xv[0], xv[1], xv[2],
+            lmx_ref[k:k + 1, :], lmy_ref[k:k + 1, :],
+            p00_ref[k:k + 1, :], p01_ref[k:k + 1, :],
+            p11_ref[k:k + 1, :], r00, r01, r11)
+        v0 = zm_ref[k, 0] - J.zr
+        v1 = wrap_angle(zm_ref[k, 1] - J.zb)
+
+        info, hsv = pk.hv_info_planes(J, v0, v1)
+        Pv_new = pk.sym3_inv(pk.sym3_add(info, pk.sym3_inv(Pv, 1e-9)),
+                             0.0)
+        dx0, dx1, dx2 = pk.sym3_mul_vec(Pv_new, *hsv)
+        keep = zm_ref[k, 2] > 0.0
+        xv = (jnp.where(keep, xv[0] + dx0, xv[0]),
+              jnp.where(keep, xv[1] + dx1, xv[1]),
+              jnp.where(keep, wrap_angle(xv[2] + dx2), xv[2]))
+        Pv = tuple(jnp.where(keep, n, o) for n, o in zip(Pv_new, Pv))
+    xvr_ref[0:1, :] = xv[0]
+    xvr_ref[1:2, :] = xv[1]
+    xvr_ref[2:3, :] = xv[2]
+    for i in range(6):
+        pvr_ref[i:i + 1, :] = Pv[i]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def fs2_refine_tpu(xv, Pv, lmx, lmy, p00, p01, p11, z, matched, R,
+                   block: int | None = DEFAULT_BLOCK,
+                   interpret: bool = False):
+    """Fused FS2 proposal refinement. Args: xv [3, P]; Pv [6, P] packed
+    symmetric; gathered landmark planes [K, P]; z [K, 2]; matched [K];
+    R [2, 2]. Returns (xv_r [3, P], Pv_r [6, P]) — semantically identical
+    to models.fastslam2._refine_proposal (golden-tested)."""
+    K, P = lmx.shape
+    block = block or _auto_block(K)
+    if P <= block:
+        block = -(-P // LANE) * LANE
+    P_pad = -(-P // block) * block
+    args = [_pad_lanes(x, P_pad)
+            for x in (xv, Pv, lmx, lmy, p00, p01, p11)]
+    # Per-observation scalars (range, bearing, matched) in SMEM.
+    zm = jnp.concatenate(
+        [z.astype(xv.dtype),
+         matched.astype(xv.dtype)[:, None]], axis=1)        # [K, 3]
+    r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
+                        xv.dtype).reshape(1, 3)
+
+    grid, b = _grid_block(P_pad, block)
+    plane = pl.BlockSpec((K, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    xv_r, Pv_r = pl.pallas_call(
+        _refine_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane, plane,
+            pl.BlockSpec((K, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((3, P_pad), xv.dtype),
+                   jax.ShapeDtypeStruct((6, P_pad), xv.dtype)],
+        interpret=interpret,
+    )(*args, zm, r_row)
+    return xv_r[:, :P], Pv_r[:, :P]
+
+
 def fs1_observe_tpu(state, z, slot, matched, R,
                     block: int = DEFAULT_BLOCK, interpret: bool = False):
     """Fused FastSLAM1 observation update on a ParticleState: gathers the

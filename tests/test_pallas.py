@@ -121,6 +121,45 @@ def test_fs1_observe_tpu_matches_jnp_update():
                                atol=1e-5)
 
 
+def test_fs2_refine_kernel_matches_jnp():
+    """Fused FS2 proposal refinement == the sequential jnp fori_loop
+    (_refine_proposal), including unmatched-slot pass-through."""
+    from slam_tpu.models.fastslam2 import _refine_proposal
+    from slam_tpu.ops.pallas.kernels import fs2_refine_tpu
+    P, L, K = 220, 8, 5
+    rng = np.random.default_rng(11)
+    state = init_particles(P, L, L)
+    lm = rng.normal(size=(2, L, P)).astype(np.float32) * 5
+    lm_P = np.zeros((3, L, P), np.float32)
+    lm_P[0] = 0.1
+    lm_P[2] = 0.1
+    Pv = np.zeros((6, P), np.float32)
+    Pv[0] = 0.02
+    Pv[3] = 0.02
+    Pv[5] = 0.01
+    state = state._replace(
+        xv=jnp.asarray(rng.normal(size=(3, P)).astype(np.float32) * 0.1),
+        Pv=jnp.asarray(Pv),
+        lm=jnp.asarray(lm), lm_P=jnp.asarray(lm_P), n=jnp.int32(L))
+
+    z = jnp.asarray(
+        np.column_stack([rng.uniform(3, 8, K),
+                         rng.uniform(-0.5, 0.5, K)]).astype(np.float32))
+    slot = jnp.asarray(np.array([1, 3, 0, 6, 2], np.int32))
+    matched = jnp.asarray(np.array([True, False, True, True, False]))
+
+    gathered = rbpf.gather_landmarks(state, slot)
+    got_xv, got_Pv = fs2_refine_tpu(state.xv, state.Pv, *gathered,
+                                    z, matched, jnp.asarray(R),
+                                    interpret=True)
+    want_xv, want_Pv = _refine_proposal(state, z, slot, matched,
+                                        jnp.asarray(R))
+    np.testing.assert_allclose(np.asarray(got_xv), np.asarray(want_xv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_Pv), np.asarray(want_Pv),
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_plane_jacobians_match_stacked():
     """Plane-form jacobians == the stacked-matrix compute_jacobians used
     by the EKF path."""
