@@ -99,20 +99,25 @@ def bench_map_run(method, mapname, n_particles, n_ticks=2000, seed=3):
     return m
 
 
-def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=5):
-    """BASELINE config #5 single-chip portion: pose-graph BA over a
-    10k-landmark synthetic map."""
+def make_ba_problem(n_keyframes=256, n_landmarks=10_000, K=24,
+                    loops=2, seed=0):
+    """Synthetic BA workload (BASELINE config #5): `loops` passes around
+    a 200 m-radius circle (matching the reference's NUMBER_LOOPS=2 —
+    cross-pass landmark reobservation braces the graph), noisy
+    range-bearing obs of the K nearest landmarks, noisy odometry, and a
+    dead-reckoned initial trajectory that carries real accumulated
+    drift. Returns (problem, poses_true, poses0, lms_true)."""
     import numpy as np
-    import jax
     import jax.numpy as jnp
-    from slam_tpu.posegraph import BAProblem, solve_ba
+    from slam_tpu.posegraph import BAProblem
     from slam_tpu.posegraph.ba import to_local
 
-    rng = np.random.default_rng(0)
-    T, L, K = n_keyframes, n_landmarks, 24
-    ang = np.linspace(0, 2 * np.pi, T)
-    poses = np.stack([200 * np.cos(ang), 200 * np.sin(ang),
-                      ang + np.pi / 2], -1).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    T, L = n_keyframes, n_landmarks
+    ang = np.linspace(0, loops * 2 * np.pi, T)
+    th = np.mod(ang + np.pi / 2 + np.pi, 2 * np.pi) - np.pi
+    poses = np.stack([200 * np.cos(ang), 200 * np.sin(ang), th],
+                     -1).astype(np.float32)
     lms = rng.uniform(-300, 300, (L, 2)).astype(np.float32)
     # Each keyframe observes its K nearest landmarks (realistic ranges;
     # far random assignments make the linearization useless).
@@ -122,28 +127,90 @@ def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=5):
     z = np.stack([np.linalg.norm(d, axis=-1),
                   np.arctan2(d[..., 1], d[..., 0]) - poses[:, 2:3]],
                  -1).astype(np.float32)
+    # Measurement noise consistent with R = diag(0.1^2 m, ~1deg^2).
+    z[..., 0] += rng.normal(scale=0.1, size=z[..., 0].shape)
+    z[..., 1] += rng.normal(scale=0.017, size=z[..., 1].shape)
+    # Noisy odometry consistent with odom_info (sigma 5 cm / ~0.6 deg
+    # per keyframe step). Pose 0 = truth (it defines the frame; the
+    # solver anchors its gauge prior there).
+    odom = np.asarray(to_local(jnp.asarray(poses[:-1]),
+                               jnp.asarray(poses[1:])))
+    odom = odom + np.stack(
+        [rng.normal(scale=0.05, size=(T - 1,)),
+         rng.normal(scale=0.05, size=(T - 1,)),
+         rng.normal(scale=0.01, size=(T - 1,))], -1).astype(np.float32)
+    poses0 = np.empty_like(poses)
+    poses0[0] = poses[0]
+    for t in range(T - 1):
+        c, s = np.cos(poses0[t, 2]), np.sin(poses0[t, 2])
+        poses0[t + 1] = (poses0[t, 0] + c * odom[t, 0] - s * odom[t, 1],
+                         poses0[t, 1] + s * odom[t, 0] + c * odom[t, 1],
+                         poses0[t, 2] + odom[t, 2])
+    # Landmarks initialized by back-projecting the (noisy) observations
+    # from the drifted dead-reckoned poses — the realistic cold start.
+    ang_w = poses0[:, 2:3] + z[..., 1]
+    wx = poses0[:, 0:1] + z[..., 0] * np.cos(ang_w)
+    wy = poses0[:, 1:2] + z[..., 0] * np.sin(ang_w)
+    sums = np.zeros((L, 2))
+    counts = np.zeros(L)
+    np.add.at(sums, idx.reshape(-1),
+              np.stack([wx.reshape(-1), wy.reshape(-1)], -1))
+    np.add.at(counts, idx.reshape(-1), 1.0)
+    lms0 = np.where(counts[:, None] > 0,
+                    sums / np.maximum(counts, 1.0)[:, None],
+                    lms).astype(np.float32)
     prob = BAProblem(
-        poses0=jnp.asarray(poses + rng.normal(scale=0.5,
-                                              size=poses.shape)
-                           .astype(np.float32)),
-        landmarks0=jnp.asarray(lms + rng.normal(scale=1.0,
-                                                size=lms.shape)
-                               .astype(np.float32)),
-        odom=to_local(jnp.asarray(poses[:-1]), jnp.asarray(poses[1:])),
-        odom_info=jnp.asarray(np.diag([100., 100., 400.]), jnp.float32),
+        poses0=jnp.asarray(poses0),
+        landmarks0=jnp.asarray(lms0),
+        odom=jnp.asarray(odom),
+        odom_info=jnp.asarray(np.diag([400., 400., 10000.]),
+                              jnp.float32),
         z=jnp.asarray(z), lm_idx=jnp.asarray(idx),
         mask=jnp.ones((T, K), bool),
         R=jnp.asarray(np.diag([0.01, 0.0003]), jnp.float32))
+    return prob, poses, poses0, lms
+
+
+def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=30):
+    """BASELINE config #5 single-chip portion: pose-graph BA over a
+    10k-landmark synthetic map. Measures ms per LM trial step (one
+    Schur-eliminated linear solve) AND asserts solution quality two
+    ways: the dead-reckoned drift must shrink by >5x, and the solve must
+    land within 1.25x of the MAP floor (the error a second solve reaches
+    when started AT truth — the best any estimator can do given the
+    measurement noise; the two solves converging to the same cost is the
+    proof the solver finds the optimum)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from slam_tpu.posegraph import solve_ba
+
+    prob, poses, poses0, lms = make_ba_problem(n_keyframes,
+                                               n_landmarks)
     t0 = time.time()
-    p1, l1 = solve_ba(prob, iters=1)
+    p1, l1 = solve_ba(prob, iters=1, tol=0.0)
     jax.block_until_ready(p1)
     t1 = time.time()
-    p, lm_out = solve_ba(prob, iters=iters)
+    p, lm_out, info = solve_ba(prob, iters=iters, return_info=True)
     jax.block_until_ready(p)
-    dt = (time.time() - t1) / iters
+    dt = (time.time() - t1) / max(info["n_steps"], 1)
+    init_err = float(np.linalg.norm(poses0[:, :2] - poses[:, :2],
+                                    axis=1).mean())
     err = float(jnp.linalg.norm(p[:, :2] - poses[:, :2], axis=1).mean())
-    _log(f"BA 10k-landmark x {T} keyframes: {dt*1e3:.0f} ms/GN-iter "
-         f"(compile+first {t1-t0:.1f}s), mean pose err {err:.3f} m")
+    # MAP floor: same measurements, initialized at truth (poses AND
+    # landmarks — a mixed init is inconsistent and stalls LM).
+    prob_t = dataclasses.replace(prob, poses0=jnp.asarray(poses),
+                                 landmarks0=jnp.asarray(lms))
+    p_t, _, info_t = solve_ba(prob_t, iters=iters, return_info=True)
+    floor = float(jnp.linalg.norm(p_t[:, :2] - poses[:, :2],
+                                  axis=1).mean())
+    _log(f"BA 10k-landmark x {n_keyframes} keyframes: "
+         f"{dt*1e3:.0f} ms/LM-step ({info['n_steps']} steps, "
+         f"compile+first {t1-t0:.1f}s), mean pose err {init_err:.3f} -> "
+         f"{err:.3f} m (MAP floor {floor:.3f} m)")
+    assert err < 0.2 * init_err, (err, init_err)
+    assert err < max(1.25 * floor, 0.05), (err, floor)
     return dt
 
 

@@ -9,9 +9,11 @@ reference counterpart — the reference never smooths). Problem structure:
   (the same h/Hv/Hf model as the filters, slam_tpu.ops.planes);
 - a prior on pose 0 fixing the gauge.
 
-Solved by damped Gauss-Newton with the landmarks eliminated via the
-Schur complement: the landmark system is block-diagonal (2x2 per
-landmark), so
+Solved by Levenberg-Marquardt (Gauss-Newton with adaptive damping and
+step acceptance: a trial step is kept only if the total weighted cost
+decreases, otherwise the damping is raised and the step recomputed) with
+the landmarks eliminated via the Schur complement: the landmark system
+is block-diagonal (2x2 per landmark), so
 
     S   = App - W All^-1 W',        rhs = bp - W All^-1 bl
     dp  = S^-1 rhs,                 dl  = All^-1 (bl - W' dp)
@@ -35,6 +37,14 @@ from slam_tpu.geometry import wrap_angle
 from slam_tpu.ops import planes as pk
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# Information weight of the gauge-prior factor anchoring pose 0. This is
+# a REAL factor (residual pulls pose 0 back to its anchor), not just a
+# diagonal stiffener: without the residual term the whole solution can
+# drift to any rigid transform of the optimum (obs + odom factors are
+# invariant under global SE(2) motion) while the per-step damping hides
+# it — the round-1 divergence-at-scale was exactly this gauge drift.
+PRIOR_INFO = 1.0e6
 
 
 @dataclass(frozen=True)
@@ -120,8 +130,15 @@ def _obs_terms(poses, landmarks, z, lm_idx, mask):
     return Hv, Hf, r
 
 
+def _prior_residual(poses, anchor):
+    """Gauge-prior residual: pose 0 vs its anchor, heading wrapped."""
+    return jnp.concatenate([
+        poses[0, :2] - anchor[:2],
+        wrap_angle(poses[0, 2:3] - anchor[2:3])])
+
+
 def _gn_normal_blocks(poses, landmarks, odom, odom_info, z, lm_idx,
-                      mask, R, L: int):
+                      mask, R, anchor, L: int):
     """Assemble all Gauss-Newton normal-equation pieces."""
     T = poses.shape[0]
     dtype = poses.dtype
@@ -181,23 +198,48 @@ def _gn_normal_blocks(poses, landmarks, odom, odom_info, z, lm_idx,
     App = App.at[t1, :, t1 + 1, :].add(Aab)
     App = App.at[t1 + 1, :, t1, :].add(jnp.swapaxes(Aab, -1, -2))
     App = App.at[t1 + 1, :, t1 + 1, :].add(Abb)
-    # Gauge prior on pose 0.
-    App = App.at[0, :, 0, :].add(1e6 * jnp.eye(3, dtype=dtype))
+    # Gauge prior on pose 0: information AND residual (see PRIOR_INFO).
+    App = App.at[0, :, 0, :].add(PRIOR_INFO * jnp.eye(3, dtype=dtype))
     App = App.reshape(T * 3, T * 3)
 
-    bp = bp_obs.at[:-1].add(ba_).at[1:].add(bb_).reshape(-1)
-    return App, W, All, bp, bl
+    bp = bp_obs.at[:-1].add(ba_).at[1:].add(bb_)
+    bp = bp.at[0].add(-PRIOR_INFO * _prior_residual(poses, anchor))
+    return App, W, All, bp.reshape(-1), bl
+
+
+@jax.jit
+def _ba_cost(poses, landmarks, odom, odom_info, z, lm_idx, mask, R,
+             anchor):
+    """Total weighted squared residual (obs + odom + gauge prior) —
+    the LM acceptance criterion."""
+    Rinv = jnp.linalg.inv(jnp.asarray(R, poses.dtype))
+    lm = landmarks[lm_idx]
+    dx = lm[..., 0] - poses[:, None, 0]
+    dy = lm[..., 1] - poses[:, None, 1]
+    rng = jnp.sqrt(dx * dx + dy * dy)
+    brg = jnp.arctan2(dy, dx) - poses[:, None, 2]
+    r0 = z[..., 0] - rng
+    r1 = wrap_angle(z[..., 1] - brg)
+    r = jnp.stack([r0, r1], -1) * mask.astype(poses.dtype)[..., None]
+    c_obs = jnp.einsum("tka,ab,tkb->", r, Rinv, r, precision=_HIGHEST)
+    r_od, _, _ = _odom_residual_jacobians(poses, odom)
+    c_od = jnp.einsum("ta,ab,tb->", r_od,
+                      jnp.asarray(odom_info, poses.dtype), r_od,
+                      precision=_HIGHEST)
+    rp = _prior_residual(poses, anchor)
+    return c_obs + c_od + PRIOR_INFO * jnp.dot(rp, rp)
 
 
 @jax.jit
 def _gn_step(poses, landmarks, odom, odom_info, z, lm_idx, mask, R,
-             damping):
-    """One damped Gauss-Newton step with Schur elimination."""
+             anchor, damping):
+    """One damped Gauss-Newton trial step with Schur elimination."""
     T = poses.shape[0]
     L = landmarks.shape[0]
     dtype = poses.dtype
     App, W, All, bp, bl = _gn_normal_blocks(
-        poses, landmarks, odom, odom_info, z, lm_idx, mask, R, L)
+        poses, landmarks, odom, odom_info, z, lm_idx, mask, R, anchor,
+        L)
 
     lam = jnp.asarray(damping, dtype)
     All = All + lam * jnp.eye(2, dtype=dtype)
@@ -228,15 +270,49 @@ def _gn_step(poses, landmarks, odom, odom_info, z, lm_idx, mask, R,
     return new_poses, new_landmarks
 
 
-def solve_ba(prob: BAProblem, iters: int = 10, damping: float = 1e-3):
-    """Run damped Gauss-Newton (fixed iteration count — one compiled
-    step reused). Returns (poses [T,3], landmarks [L,2])."""
+def solve_ba(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
+             tol: float = 1e-8, max_retries: int = 6,
+             return_info: bool = False):
+    """Levenberg-Marquardt: up to `iters` ACCEPTED steps, each trial
+    step kept only if the total cost decreases (else the damping is
+    raised x10 and the step recomputed from the same linearization
+    point, up to `max_retries` times). One compiled step/cost program is
+    reused across all trials (damping is a traced scalar). Returns
+    (poses [T,3], landmarks [L,2]); with return_info=True also a dict
+    with cost trace and trial counts (n_steps = total linear solves —
+    the unit for ms/iter timing)."""
     poses = jnp.asarray(prob.poses0, jnp.float32)
     landmarks = jnp.asarray(prob.landmarks0, jnp.float32)
+    anchor = poses[0]
+    static = (prob.odom, prob.odom_info, prob.z, prob.lm_idx, prob.mask,
+              prob.R, anchor)
+    lam = float(damping)
+    cost = float(_ba_cost(poses, landmarks, *static))
+    costs = [cost]
+    n_steps = 0
     for _ in range(iters):
-        poses, landmarks = _gn_step(
-            poses, landmarks, prob.odom, prob.odom_info, prob.z,
-            prob.lm_idx, prob.mask, prob.R, jnp.float32(damping))
+        accepted = False
+        for _retry in range(max_retries + 1):
+            trial_p, trial_l = _gn_step(poses, landmarks, *static,
+                                        jnp.float32(lam))
+            n_steps += 1
+            trial_cost = float(_ba_cost(trial_p, trial_l, *static))
+            if np.isfinite(trial_cost) and trial_cost <= cost:
+                accepted = True
+                break
+            lam = min(lam * 10.0, 1e8)
+        if not accepted:
+            break
+        poses, landmarks = trial_p, trial_l
+        gain = cost - trial_cost
+        cost = trial_cost
+        costs.append(cost)
+        lam = max(lam / 3.0, 1e-9)
+        if gain <= tol * max(cost, 1.0):
+            break
+    if return_info:
+        return poses, landmarks, {"costs": costs, "n_steps": n_steps,
+                                  "final_damping": lam}
     return poses, landmarks
 
 

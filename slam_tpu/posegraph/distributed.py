@@ -29,9 +29,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from slam_tpu.geometry import wrap_angle
 from slam_tpu.posegraph.ba import (
+    PRIOR_INFO,
     BAProblem,
+    _ba_cost,
     _obs_terms,
     _odom_residual_jacobians,
+    _prior_residual,
 )
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -100,7 +103,7 @@ def make_sharded_gn_step(mesh: Mesh, T: int, L: int):
     rep = P()
 
     def step(poses, landmarks, odom, odom_info, z, lm_idx, mask, R,
-             damping):
+             anchor, damping):
         dtype = poses.dtype
         Rinv = jnp.linalg.inv(jnp.asarray(R, dtype))
         lam = jnp.asarray(damping, dtype)
@@ -135,7 +138,8 @@ def make_sharded_gn_step(mesh: Mesh, T: int, L: int):
         App = App.at[t1 + 1, :, t1, :].add(jnp.swapaxes(Aab, -1, -2))
         App = App.at[t1 + 1, :, t1 + 1, :].add(
             jnp.einsum("tab,tbc->tac", JbI, Jb, precision=_HIGHEST))
-        App = App.at[0, :, 0, :].add(1e6 * jnp.eye(3, dtype=dtype))
+        App = App.at[0, :, 0, :].add(
+            PRIOR_INFO * jnp.eye(3, dtype=dtype))
         App = App.reshape(T * 3, T * 3)
 
         bp = jnp.zeros((T, 3), dtype)
@@ -144,6 +148,7 @@ def make_sharded_gn_step(mesh: Mesh, T: int, L: int):
                                         precision=_HIGHEST))
         bp = bp.at[1:].add(-jnp.einsum("tab,tb->ta", JbI, r_od,
                                        precision=_HIGHEST))
+        bp = bp.at[0].add(-PRIOR_INFO * _prior_residual(poses, anchor))
 
         S = App + lam * jnp.eye(3 * T, dtype=dtype) - SW
         rhs = bp.reshape(-1) - rhs_lm
@@ -172,13 +177,37 @@ def make_sharded_gn_step(mesh: Mesh, T: int, L: int):
 
 
 def solve_ba_sharded(prob: BAProblem, mesh: Mesh, iters: int = 10,
-                     damping: float = 1e-3):
-    """Distributed Schur-complement BA over a landmark-sharded mesh."""
+                     damping: float = 1e-3, tol: float = 1e-8,
+                     max_retries: int = 6):
+    """Distributed Schur-complement BA over a landmark-sharded mesh.
+
+    Same Levenberg-Marquardt acceptance loop as solve_ba (the cost
+    check reuses the single-chip _ba_cost; XLA re-gathers the sharded
+    landmark slices, which is cheap next to the Schur contraction)."""
     step = make_sharded_gn_step(mesh, prob.T, prob.L)
     poses = jnp.asarray(prob.poses0, jnp.float32)
     landmarks = jnp.asarray(prob.landmarks0, jnp.float32)
+    anchor = poses[0]
+    static = (prob.odom, prob.odom_info, prob.z, prob.lm_idx, prob.mask,
+              prob.R, anchor)
+    lam = float(damping)
+    cost = float(_ba_cost(poses, landmarks, *static))
     for _ in range(iters):
-        poses, landmarks = step(poses, landmarks, prob.odom,
-                                prob.odom_info, prob.z, prob.lm_idx,
-                                prob.mask, prob.R, jnp.float32(damping))
+        accepted = False
+        for _retry in range(max_retries + 1):
+            trial_p, trial_l = step(poses, landmarks, *static,
+                                    jnp.float32(lam))
+            trial_cost = float(_ba_cost(trial_p, trial_l, *static))
+            if np.isfinite(trial_cost) and trial_cost <= cost:
+                accepted = True
+                break
+            lam = min(lam * 10.0, 1e8)
+        if not accepted:
+            break
+        poses, landmarks = trial_p, trial_l
+        gain = cost - trial_cost
+        cost = trial_cost
+        lam = max(lam / 3.0, 1e-9)
+        if gain <= tol * max(cost, 1.0):
+            break
     return poses, landmarks

@@ -107,6 +107,36 @@ def test_refine_filter_run_improves_ate():
     assert ba_rmse < filt_rmse * 1.05, (ba_rmse, filt_rmse)
 
 
+def test_ba_bench_scale_converges_to_map_floor():
+    """Round-1 regression: at bench-like scale (dead-reckoned drift,
+    noisy odometry + observations) the LM solve must reach the same
+    optimum a truth-initialized solve reaches — the round-1 solver
+    instead drifted to a rigid-transformed optimum 250 m away (gauge
+    prior had no residual) and its first GN step exploded the cost
+    (fixed damping, no step acceptance)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import make_ba_problem
+
+    prob, poses, poses0, lms = make_ba_problem(64, 500)
+    init_err = np.linalg.norm(poses0[:, :2] - poses[:, :2],
+                              axis=1).mean()
+    p, _, info = solve_ba(prob, iters=25, return_info=True)
+    err = np.linalg.norm(np.asarray(p)[:, :2] - poses[:, :2],
+                         axis=1).mean()
+    assert err < 0.2 * init_err, (err, init_err)
+    # Cost must be monotone non-increasing across accepted steps.
+    assert all(b <= a * (1 + 1e-6)
+               for a, b in zip(info["costs"], info["costs"][1:]))
+    prob_t = dataclasses.replace(prob, poses0=jnp.asarray(poses),
+                                 landmarks0=jnp.asarray(lms))
+    p_t, _ = solve_ba(prob_t, iters=25)
+    floor = np.linalg.norm(np.asarray(p_t)[:, :2] - poses[:, :2],
+                           axis=1).mean()
+    assert err < max(1.25 * floor, 0.05), (err, floor)
+
+
 def test_sharded_ba_matches_single_chip():
     """Distributed Schur BA on the 8-dev CPU mesh == single-chip solver
     (same math, reduced over shards)."""

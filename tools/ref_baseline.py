@@ -24,12 +24,18 @@ import sys
 import tempfile
 
 STUB_HEADER = """\
-// Benchmark stub: no-op telemetry (replaces the ZMQ sender so the backend
-// builds without libzmq headers). loopTime() accumulates and prints stats
-// at endPlot().
+// Benchmark stub: telemetry replaced by an in-process DataGatherer
+// equivalent (builds without libzmq headers). loopTime() accumulates
+// per-turn wall time; plot() accumulates the per-turn Euclidean
+// truth-vs-estimate position error EXACTLY as the GUI does
+// (Controller.cpp:172-196 routes setCarTruePosition /
+// setCarEstimatedPosition into DataGatherer and calls nextTurn() on
+// every "plot" message; DataGatherer.cpp:103-115 takes
+// sqrt((tx-ex)^2+(ty-ey)^2)). Stats print at endPlot().
 #ifndef SLAM_GUI_NETWORKPLOT_H
 #define SLAM_GUI_NETWORKPLOT_H
 #include <Eigen/Dense>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <string>
@@ -47,16 +53,25 @@ public:
     void addTruePosition(double, double) {}
     void addEstimatedPosition(double, double) {}
     void setCarSize(double, uint32_t = 0) {}
-    void setCarTruePosition(double, double, double) {}
-    void setCarEstimatedPosition(double, double, double) {}
+    void setCarTruePosition(double x, double y, double) { tx = x; ty = y; }
+    void setCarEstimatedPosition(double x, double y, double) { ex = x; ey = y; }
     void setPlotRange(double, double, double, double) {}
     void clear() {}
     void setSimulationName(std::string) {}
-    void plot() {}
+    void plot() {
+        double e2 = (tx - ex) * (tx - ex) + (ty - ey) * (ty - ey);
+        err_sum += std::sqrt(e2);
+        err_sq_sum += e2;
+        nerr++;
+    }
     void endPlot() {
         double mean = turns ? total_us / (double)turns : 0.0;
         fprintf(stderr, "STUB_TIMES turns=%lu total_us=%.0f mean_us=%.3f\\n",
                 (unsigned long)turns, total_us, mean);
+        fprintf(stderr, "STUB_ERR n=%lu mean=%.6f rmse=%.6f\\n",
+                (unsigned long)nerr,
+                nerr ? err_sum / (double)nerr : 0.0,
+                nerr ? std::sqrt(err_sq_sum / (double)nerr) : 0.0);
     }
     void setCurrentIteration(uint32_t) {}
     void covEllipseAdd(uint32_t) {}
@@ -64,6 +79,9 @@ public:
 private:
     double total_us = 0;
     uint64_t turns = 0;
+    double tx = 0, ty = 0, ex = 0, ey = 0;
+    double err_sum = 0, err_sq_sum = 0;
+    uint64_t nerr = 0;
 };
 #endif
 """
@@ -104,18 +122,24 @@ def build(ref: str, workdir: str) -> str:
     return os.path.join(bld, "src/backend/slam-backend")
 
 
-def measure(binary: str, data: str, method: str, mapname: str):
+def measure(binary: str, data: str, method: str, mapname: str,
+            seed: int = 1):
     out = subprocess.run(
         [binary, "-m", f"{data}/{mapname}.mat", "-method", method,
-         "-mode", "waypoints"],
+         "-mode", "waypoints", "-SWITCH_SEED_RANDOM", str(seed)],
         capture_output=True, text=True, timeout=1200, cwd=os.path.dirname(
             os.path.dirname(data)))
-    m = re.search(r"STUB_TIMES turns=(\d+) total_us=(\d+)",
-                  out.stdout + out.stderr)
+    txt = out.stdout + out.stderr
+    m = re.search(r"STUB_TIMES turns=(\d+) total_us=(\d+)", txt)
     if not m:
         raise RuntimeError(f"no STUB_TIMES for {method}/{mapname}")
     turns, total_us = int(m.group(1)), float(m.group(2))
-    return turns, turns / (total_us / 1e6)
+    e = re.search(r"STUB_ERR n=(\d+) mean=([\d.eE+-]+) rmse=([\d.eE+-]+)",
+                  txt)
+    if not e:
+        raise RuntimeError(f"no STUB_ERR for {method}/{mapname}")
+    return turns, turns / (total_us / 1e6), float(e.group(2)), \
+        float(e.group(3))
 
 
 def main():
@@ -128,24 +152,44 @@ def main():
 
     results = {
         "comment": "Reference C++ backend (matzipan/slam) measured on "
-                   "this host with telemetry stubbed "
-                   "(tools/ref_baseline.py). Release build, single x86 "
-                   "core. steps = control ticks (turns).",
+                   "this host with telemetry replaced by an in-process "
+                   "DataGatherer-equivalent (tools/ref_baseline.py). "
+                   "Release build, single x86 core. steps = control "
+                   "ticks (turns). ate_* = per-turn Euclidean position "
+                   "error stats exactly as DataGatherer.cpp:103-115 "
+                   "computes them, averaged over 3 seeds.",
         "host": "x86_64 container, g++ Release, ZMQ sender stubbed",
+        "ate_seeds": [1, 2, 3],
     }
+    seeds = [1, 2, 3]
     with tempfile.TemporaryDirectory() as wd:
         binary = build(args.ref, wd)
         data = os.path.join(wd, "ref", "data")
         for method, key in [("EKF1", "ekf1"), ("FASTSLAM1", "fastslam1"),
                             ("FASTSLAM2", "fastslam2")]:
-            for mapname, mkey in [("example_webmap", "webmap"),
-                                  ("example_loop1", "loop1")]:
-                turns, sps = measure(binary, data, method, mapname)
+            for mapname in ("example_webmap", "example_loop1",
+                            "example_loop2", "example_loop902"):
+                mkey = mapname.replace("example_", "")
+                rmses, means = [], []
+                for seed in seeds:
+                    turns, sps, ate_mean, ate_rmse = measure(
+                        binary, data, method, mapname, seed)
+                    rmses.append(ate_rmse)
+                    means.append(ate_mean)
                 suffix = "" if method == "EKF1" else "_100p"
-                results[f"{key}_{mkey}{suffix}_steps_per_sec"] = round(sps, 1)
+                # steps/s from the last (timing varies little by seed).
+                results[f"{key}_{mkey}{suffix}_steps_per_sec"] = \
+                    round(sps, 1)
                 results[f"{mkey}_run_ticks"] = turns
+                results[f"ate_rmse_{key}_{mkey}"] = round(
+                    sum(rmses) / len(rmses), 4)
+                results[f"ate_rmse_{key}_{mkey}_per_seed"] = [
+                    round(v, 4) for v in rmses]
+                results[f"ate_mean_{key}_{mkey}"] = round(
+                    sum(means) / len(means), 4)
                 print(f"{method} {mapname}: {sps:,.0f} steps/s "
-                      f"({turns} turns)", file=sys.stderr)
+                      f"({turns} turns)  ATE rmse {rmses} m",
+                      file=sys.stderr)
 
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=2)
