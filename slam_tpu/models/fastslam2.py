@@ -8,9 +8,12 @@ TPU-first re-design of the reference FastSLAM2
   predict: pose + pose-covariance propagation
            Pv <- Gv Pv Gv' + Gu Q Gu'        (fastslam2.cpp:70-105)
   proposal refinement per matched feature (sequential, pose re-linearized
-  after each feature, exactly like sampleProposal fastslam2.cpp:290-368):
-           Pv <- (Hv' Sf^-1 Hv + Pv^-1)^-1
-           xv <- xv + Pv Hv' Sf^-1 v
+  after each feature, exactly like sampleProposal fastslam2.cpp:290-368,
+  but in covariance form — the Woodbury-equivalent of the reference's
+  information form, which inverts the near-singular Pv and NaNs in f32;
+  see ops.planes.refine_pose_planes):
+           K  = Pv Hv' (Sf + Hv Pv Hv')^-1
+           xv <- xv + K v ;  Pv <- Pv - K (Hv Pv)'
   sample xvs ~ N(xv, Pv); Pv <- 0
   w *= likelihood(z | xvs) * prior / proposal (log-space; the reference's
            gaussEvaluate Cholesky+SVD dance, fastslam2.cpp:127-163,
@@ -119,12 +122,8 @@ def _refine_proposal(state: ParticleState, z, slot, matched, R):
         v0 = z[k, 0] - J.zr
         v1 = wrap_angle(z[k, 1] - J.zb)
 
-        info, hsv = pk.hv_info_planes(J, v0, v1)
         Pv_t = tuple(Pv)
-        Pv_new = pk.sym3_inv(pk.sym3_add(info, pk.sym3_inv(Pv_t,
-                                                           _PV_JITTER)),
-                             0.0)
-        dx0, dx1, dx2 = pk.sym3_mul_vec(Pv_new, *hsv)
+        (dx0, dx1, dx2), Pv_new = pk.refine_pose_planes(J, Pv_t, v0, v1)
         xv_new = jnp.stack([xv[0] + dx0, xv[1] + dx1,
                             wrap_angle(xv[2] + dx2)])
 
@@ -156,9 +155,10 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
                *, do_resample: bool = True, use_pallas: bool = False,
                resample_fn=None) -> ParticleState:
     """Proposal sampling, weighting, map update, resampling
-    (FastSLAM2::update, fastslam2.cpp:21-48). With ``use_pallas`` the
-    post-sampling likelihood + feature-update pass runs through the fused
-    TPU observe kernel (it evaluates exactly likelihoodGivenXv and
+    (FastSLAM2::update, fastslam2.cpp:21-48). With ``use_pallas`` two
+    stages run as fused TPU kernels: the sequential proposal refinement
+    (fs2_refine_tpu) and the post-sampling likelihood + feature-update
+    pass (fs1_observe_tpu — it evaluates exactly likelihoodGivenXv and
     featureUpdate at the sampled pose)."""
     assoc, is_new = rbpf.associate_known(state, ids, zmask)
     matched = assoc >= 0

@@ -15,7 +15,6 @@ from slam_tpu.ops.kalman import (
     joseph_update,
     add_feature_init,
 )
-from slam_tpu.ops.gauss import log_gauss_2x2, log_gauss_3x3, multivariate_gauss
 from slam_tpu.ops.resampling import (
     effective_particles,
     normalize_log_weights,
@@ -29,9 +28,6 @@ __all__ = [
     "feature_update_2x2",
     "joseph_update",
     "add_feature_init",
-    "log_gauss_2x2",
-    "log_gauss_3x3",
-    "multivariate_gauss",
     "effective_particles",
     "normalize_log_weights",
     "resample_particles",

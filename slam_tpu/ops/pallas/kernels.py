@@ -227,10 +227,7 @@ def _refine_kernel(xv_ref, pv_ref, lmx_ref, lmy_ref, p00_ref, p01_ref,
         v0 = zm_ref[k, 0] - J.zr
         v1 = wrap_angle(zm_ref[k, 1] - J.zb)
 
-        info, hsv = pk.hv_info_planes(J, v0, v1)
-        Pv_new = pk.sym3_inv(pk.sym3_add(info, pk.sym3_inv(Pv, 1e-9)),
-                             0.0)
-        dx0, dx1, dx2 = pk.sym3_mul_vec(Pv_new, *hsv)
+        (dx0, dx1, dx2), Pv_new = pk.refine_pose_planes(J, Pv, v0, v1)
         keep = zm_ref[k, 2] > 0.0
         xv = (jnp.where(keep, xv[0] + dx0, xv[0]),
               jnp.where(keep, xv[1] + dx1, xv[1]),

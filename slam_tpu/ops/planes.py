@@ -255,32 +255,53 @@ def chol3_mul_vec(L, e0, e1, e2):
             l20 * e0 + l21 * e1 + l22 * e2)
 
 
-def hv_info_planes(J: JacobianPlanes, v0, v1):
-    """FastSLAM2 proposal-refinement terms from the pose Jacobian
-    Hv = [[hv00, hv01, 0], [hv10, hv11, -1]] and innovation covariance
-    (fastslam2.cpp:321-345):
-      info = Hv' Sf^-1 Hv   (packed sym3)
-      hsv  = Hv' Sf^-1 v    (3-vector of planes)
+def refine_pose_planes(J: JacobianPlanes, Pv6, v0, v1):
+    """One FastSLAM2 proposal-refinement step in covariance form.
+
+    The reference refines in information form (sampleProposal,
+    fastslam2.cpp:335-345):
+        Pv <- (Hv' Sf^-1 Hv + Pv^-1)^-1,   xv <- xv + Pv Hv' Sf^-1 v
+    which inverts Pv — numerically fragile in f32 because Pv is zeroed
+    after every observe tick (fastslam2.cpp:353-357) and re-accumulates
+    to ~Q*dt scale, so Pv^-1 reaches 1e5+ and the outer inverse runs on
+    catastrophically cancelled sums. By the Woodbury identity the exact
+    same update is
+        K  = Pv Hv' (Sf + Hv Pv Hv')^-1
+        xv <- xv + K v,   Pv <- Pv - K (Hv Pv)'
+    which only inverts the 2x2 (Sf + Hv Pv Hv') >= R > 0.
+
+    Hv = [[hv00, hv01, 0], [hv10, hv11, -1]]. Returns
+    ((dx0, dx1, dx2), Pv_new 6-tuple), all planes.
     """
-    det = jnp.maximum(J.s00 * J.s11 - J.s01 * J.s01, 1e-30)
-    i00 = J.s11 / det
-    i01 = -J.s01 / det
-    i11 = J.s00 / det
-
-    m00 = J.hv00 * i00 + J.hv10 * i01
-    m01 = J.hv00 * i01 + J.hv10 * i11
-    m10 = J.hv01 * i00 + J.hv11 * i01
-    m11 = J.hv01 * i01 + J.hv11 * i11
-    m20 = -i01
-    m21 = -i11
-
-    info = (m00 * J.hv00 + m01 * J.hv10,   # 00
-            m00 * J.hv01 + m01 * J.hv11,   # 01
-            -m01,                          # 02
-            m10 * J.hv01 + m11 * J.hv11,   # 11
-            -m11,                          # 12
-            i11)                           # 22
-    hsv = (m00 * v0 + m01 * v1,
-           m10 * v0 + m11 * v1,
-           m20 * v0 + m21 * v1)
-    return info, hsv
+    # U = Pv Hv'  (columns ua = Pv r0', ub = Pv r1')
+    ua0, ua1, ua2 = sym3_mul_vec(Pv6, J.hv00, J.hv01,
+                                 jnp.zeros_like(J.hv00))
+    ub0, ub1, ub2 = sym3_mul_vec(Pv6, J.hv10, J.hv11,
+                                 -jnp.ones_like(J.hv00))
+    # Hv Pv Hv' (2x2 symmetric) = Hv U
+    t00 = J.hv00 * ua0 + J.hv01 * ua1
+    t01 = J.hv00 * ub0 + J.hv01 * ub1
+    t11 = J.hv10 * ub0 + J.hv11 * ub1 - ub2
+    s00 = J.s00 + t00
+    s01 = J.s01 + t01
+    s11 = J.s11 + t11
+    det = jnp.maximum(s00 * s11 - s01 * s01, 1e-30)
+    i00, i01, i11 = s11 / det, -s01 / det, s00 / det
+    # K = U S^-1, rows k_i = (ua_i, ub_i) @ S^-1
+    k00 = ua0 * i00 + ub0 * i01
+    k01 = ua0 * i01 + ub0 * i11
+    k10 = ua1 * i00 + ub1 * i01
+    k11 = ua1 * i01 + ub1 * i11
+    k20 = ua2 * i00 + ub2 * i01
+    k21 = ua2 * i01 + ub2 * i11
+    dx = (k00 * v0 + k01 * v1,
+          k10 * v0 + k11 * v1,
+          k20 * v0 + k21 * v1)
+    a, b, c, d, e, f = Pv6
+    Pv_new = (a - (k00 * ua0 + k01 * ub0),
+              b - (k00 * ua1 + k01 * ub1),
+              c - (k00 * ua2 + k01 * ub2),
+              d - (k10 * ua1 + k11 * ub1),
+              e - (k10 * ua2 + k11 * ub2),
+              f - (k20 * ua2 + k21 * ub2))
+    return dx, Pv_new

@@ -12,9 +12,6 @@ from slam_tpu.ops import (
     effective_particles,
     feature_update_2x2,
     joseph_update,
-    log_gauss_2x2,
-    log_gauss_3x3,
-    multivariate_gauss,
     normalize_log_weights,
     resample_particles,
     stratified_indices,
@@ -178,37 +175,22 @@ def test_innovation_wraps_bearing():
 
 # --- Gaussians -----------------------------------------------------------
 
-def test_log_gauss_2x2_vs_numpy(rng):
+def test_log_gauss2_planes_vs_numpy(rng):
+    """Oracle for the live plane-form 2-D log-density (ops.planes), the
+    weighting math FastSLAM1/2 actually run (fastslam2.cpp:127-163)."""
+    from slam_tpu.ops.planes import log_gauss2_planes
+
     n = 50
     S = _rand_psd(rng, n, 2)
     v = rng.normal(size=(n, 2)).astype(np.float32)
-    got = np.asarray(log_gauss_2x2(jnp.asarray(v), jnp.asarray(S)))
+    got = np.asarray(log_gauss2_planes(
+        jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1]),
+        jnp.asarray(S[:, 0, 0]), jnp.asarray(S[:, 0, 1]),
+        jnp.asarray(S[:, 1, 1])))
     for i in range(n):
         ref = (-0.5 * v[i] @ np.linalg.solve(S[i], v[i])
                - np.log(2 * np.pi) - 0.5 * np.log(np.linalg.det(S[i])))
         np.testing.assert_allclose(got[i], ref, rtol=1e-3, atol=1e-4)
-
-
-def test_log_gauss_3x3_vs_numpy(rng):
-    n = 20
-    S = _rand_psd(rng, n, 3)
-    v = rng.normal(size=(n, 3)).astype(np.float32)
-    got = np.asarray(log_gauss_3x3(jnp.asarray(v), jnp.asarray(S)))
-    for i in range(n):
-        ref = (-0.5 * v[i] @ np.linalg.solve(S[i], v[i])
-               - 1.5 * np.log(2 * np.pi)
-               - 0.5 * np.log(np.linalg.det(S[i])))
-        np.testing.assert_allclose(got[i], ref, rtol=1e-3, atol=1e-4)
-
-
-def test_multivariate_gauss_statistics():
-    P = jnp.array([[0.5, 0.2], [0.2, 0.4]])
-    x = jnp.array([1.0, -2.0])
-    keys = jax.random.split(jax.random.PRNGKey(0), 20000)
-    samples = jax.vmap(lambda k: multivariate_gauss(k, x, P))(keys)
-    samples = np.asarray(samples)
-    np.testing.assert_allclose(samples.mean(0), np.asarray(x), atol=0.03)
-    np.testing.assert_allclose(np.cov(samples.T), np.asarray(P), atol=0.03)
 
 
 # --- Resampling ----------------------------------------------------------

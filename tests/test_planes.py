@@ -56,9 +56,10 @@ def test_log_gauss3_matches_numpy():
         np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-3)
 
 
-def test_hv_info_matches_dense():
-    """info = Hv' S^-1 Hv and hsv = Hv' S^-1 v against dense numpy, with
-    Hv reconstructed from the Jacobian planes."""
+def test_refine_pose_matches_dense_information_form():
+    """The covariance-form refinement (Woodbury) against the reference's
+    information form Pv<-(Hv'S^-1 Hv+Pv^-1)^-1, dx=Pv_new Hv'S^-1 v
+    (fastslam2.cpp:335-345) evaluated densely in f64 numpy."""
     rng = np.random.default_rng(3)
     n = 25
     xv = rng.normal(size=(3, n)).astype(np.float32)
@@ -74,22 +75,31 @@ def test_hv_info_matches_dense():
                             R[0, 0], R[0, 1], R[1, 1])
     v0 = rng.normal(size=n).astype(np.float32) * 0.1
     v1 = rng.normal(size=n).astype(np.float32) * 0.05
-    info, hsv = pk.hv_info_planes(J, jnp.asarray(v0), jnp.asarray(v1))
+    # A well-conditioned pose covariance (the fragile near-singular case
+    # is exactly what the covariance form exists to avoid; equivalence is
+    # checked where the f64 information form is itself trustworthy).
+    Pv = _pack(_rand_spd3(rng, n) * 0.05)
+    dx, Pv_new = pk.refine_pose_planes(J, tuple(map(jnp.asarray, Pv)),
+                                       jnp.asarray(v0), jnp.asarray(v1))
 
     for i in range(n):
         Hv = np.array([[float(J.hv00[i]), float(J.hv01[i]), 0.0],
-                       [float(J.hv10[i]), float(J.hv11[i]), -1.0]])
+                       [float(J.hv10[i]), float(J.hv11[i]), -1.0]],
+                      dtype=np.float64)
         S = np.array([[float(J.s00[i]), float(J.s01[i])],
-                      [float(J.s01[i]), float(J.s11[i])]])
-        want_info = Hv.T @ np.linalg.inv(S) @ Hv
-        a, b, c, d, e, f = [float(x[i]) for x in info]
-        got_info = np.array([[a, b, c], [b, d, e], [c, e, f]])
-        np.testing.assert_allclose(got_info, want_info, rtol=1e-3,
-                                   atol=1e-3)
-        want_hsv = Hv.T @ np.linalg.inv(S) @ np.array([v0[i], v1[i]])
-        got_hsv = np.array([float(x[i]) for x in hsv])
-        np.testing.assert_allclose(got_hsv, want_hsv, rtol=1e-3,
-                                   atol=1e-4)
+                      [float(J.s01[i]), float(J.s11[i])]],
+                     dtype=np.float64)
+        a, b, c, d, e, f = [float(p[i]) for p in Pv]
+        P = np.array([[a, b, c], [b, d, e], [c, e, f]])
+        info = Hv.T @ np.linalg.inv(S) @ Hv
+        want_P = np.linalg.inv(info + np.linalg.inv(P))
+        want_dx = want_P @ Hv.T @ np.linalg.inv(S) @ np.array(
+            [v0[i], v1[i]], dtype=np.float64)
+        a, b, c, d, e, f = [float(p[i]) for p in Pv_new]
+        got_P = np.array([[a, b, c], [b, d, e], [c, e, f]])
+        np.testing.assert_allclose(got_P, want_P, rtol=2e-3, atol=2e-4)
+        got_dx = np.array([float(x[i]) for x in dx])
+        np.testing.assert_allclose(got_dx, want_dx, rtol=2e-3, atol=2e-4)
 
 
 def test_feature_init_matches_dense():
