@@ -34,6 +34,25 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _ref(key, default=None):
+    try:
+        with open(BASELINE_FILE) as fh:
+            return json.load(fh).get(key, default)
+    except OSError:
+        return default
+
+
+def _ate_str(method: str, mapname: str, ate: float) -> str:
+    """ATE with the measured reference ATE for the same map x method
+    alongside (3-seed average of the real C++ backend's own
+    DataGatherer error metric — tools/ref_baseline.py)."""
+    k = {"EKF1": "ekf1", "FASTSLAM1": "fastslam1",
+         "FASTSLAM2": "fastslam2"}[method]
+    ref = _ref(f"ate_rmse_{k}_{mapname.replace('example_', '')}")
+    return (f"ATE {ate:.3f} m (ref {ref:.3f} m)" if ref
+            else f"ATE {ate:.3f} m")
+
+
 def load_workload():
     from slam_tpu.config import SlamConfig
     from slam_tpu.maps import read_map_file, synthetic_map
@@ -54,7 +73,8 @@ def bench_run(method: str, n_particles, n_ticks: int = 4000, seed=3):
     result = runner.run(seed=seed, n_ticks=n_ticks)
     m = compute_metrics(result)
     _log(f"{method} p={n_particles or cfg.NPARTICLES}: "
-         f"{m.steps_per_second:,.0f} steps/s  ATE {m.ate_rmse:.3f} m  "
+         f"{m.steps_per_second:,.0f} steps/s  "
+         f"{_ate_str(method, 'example_webmap', m.ate_rmse)}  "
          f"compile {result.compile_seconds:.1f}s wall "
          f"{result.wall_seconds:.2f}s")
     return m
@@ -95,7 +115,8 @@ def bench_map_run(method, mapname, n_particles, n_ticks=2000, seed=3):
     result = runner.run(seed=seed, n_ticks=n_ticks)
     m = compute_metrics(result)
     _log(f"{method} {mapname} p={n_particles or cfg.NPARTICLES}: "
-         f"{m.steps_per_second:,.0f} steps/s  ATE {m.ate_rmse:.3f} m")
+         f"{m.steps_per_second:,.0f} steps/s  "
+         f"{_ate_str(method, mapname, m.ate_rmse)}")
     return m
 
 
@@ -239,6 +260,10 @@ def main():
         # BASELINE configs #3/#4: FS2 loop2 @1k, FS1 loop902 @100k.
         bench_map_run("FASTSLAM2", "example_loop2", 1000)
         bench_map_run("FASTSLAM1", "example_loop902", 100_000,
+                      n_ticks=800)
+        # FS2 at 100k particles: exercises the fused proposal-refinement
+        # kernel (fs2_refine_tpu) live at a scale where it matters.
+        bench_map_run("FASTSLAM2", "example_webmap", 100_000,
                       n_ticks=800)
         bench_particle_throughput()
         bench_ba_10k()

@@ -19,14 +19,18 @@ distance 0, singular S) are guarded with epsilons and masked by callers.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from slam_tpu.geometry import wrap_angle
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
-_PI = float(jnp.pi)
+# Plain-math constants: a jnp call here would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() in
+# multi-process runs (it must run before any backend touch).
+_LOG_2PI = math.log(2.0 * math.pi)
+_PI = math.pi
 _HALF_PI = 0.5 * _PI
 
 

@@ -1,7 +1,12 @@
 """End-to-end seeded replays: every method x map must stay within an ATE
-bound (the BASELINE.md acceptance criterion; statistical, not
-trace-identical, per SURVEY.md §7 hard-part e — the RNG is threefry, not
-the reference's std::rand Box-Muller)."""
+bound anchored to the MEASURED reference ATE (ref_baseline.json, produced
+by tools/ref_baseline.py running the real C++ backend with its position
+errors accumulated exactly as DataGatherer.cpp:103-115 does). Statistical,
+not trace-identical, per SURVEY.md §7 hard-part e — the RNG is threefry,
+not the reference's std::rand Box-Muller."""
+
+import json
+import os
 
 import numpy as np
 import pytest
@@ -11,32 +16,48 @@ from slam_tpu.maps import read_map_file
 from slam_tpu.runtime import Runner, compute_metrics, write_report
 
 DATA = "/root/reference/data"
+_REF = json.load(open(os.path.join(os.path.dirname(__file__), os.pardir,
+                                   "ref_baseline.json")))
+# Reference ATE x margin. The margin absorbs: different RNG stream,
+# truncated runs (2400 ticks vs the reference's full 12k-34k), and 60
+# particles vs the reference's 100. Measured headroom (3 seeds, CPU) is
+# >=2x the per-case ATE for every case except FS2/webmap (~1.2x).
+MARGIN = 2.0
 
-# (method, map, n_particles, n_ticks, ate_bound_m)
+# (method, map, n_particles, n_ticks)
 CASES = [
-    ("EKF1", "example_loop1", None, 2400, 1.0),
-    ("FASTSLAM1", "example_loop1", 60, 2400, 1.5),
-    ("FASTSLAM2", "example_loop1", 60, 2400, 1.0),
-    ("EKF1", "example_webmap", None, 2400, 3.0),
-    ("FASTSLAM1", "example_webmap", 60, 2400, 4.0),
-    ("FASTSLAM2", "example_webmap", 60, 2400, 4.0),
-    ("FASTSLAM2", "example_loop2", 60, 2400, 1.0),
-    ("EKF1", "example_loop2", None, 2400, 1.0),
-    ("FASTSLAM1", "example_loop902", 60, 2400, 2.0),
-    ("EKF1", "example_loop902", None, 1600, 2.0),
+    ("EKF1", "example_loop1", None, 2400),
+    ("FASTSLAM1", "example_loop1", 60, 2400),
+    ("FASTSLAM2", "example_loop1", 60, 2400),
+    ("EKF1", "example_webmap", None, 2400),
+    ("FASTSLAM1", "example_webmap", 60, 2400),
+    ("FASTSLAM2", "example_webmap", 60, 2400),
+    ("FASTSLAM2", "example_loop2", 60, 2400),
+    ("EKF1", "example_loop2", None, 2400),
+    ("FASTSLAM1", "example_loop902", 60, 2400),
+    ("EKF1", "example_loop902", None, 1600),
 ]
 
 
-@pytest.mark.parametrize("method,mapname,n_particles,n_ticks,bound", CASES)
-def test_ate_within_bound(method, mapname, n_particles, n_ticks, bound):
+def ref_ate(method: str, mapname: str) -> float:
+    key = {"EKF1": "ekf1", "FASTSLAM1": "fastslam1",
+           "FASTSLAM2": "fastslam2"}[method]
+    return _REF[f"ate_rmse_{key}_{mapname.replace('example_', '')}"]
+
+
+@pytest.mark.parametrize("method,mapname,n_particles,n_ticks", CASES)
+def test_ate_within_reference_bound(method, mapname, n_particles,
+                                    n_ticks):
     slam_map = read_map_file(f"{DATA}/{mapname}.mat")
     cfg = SlamConfig.from_ini(f"{DATA}/{mapname}.ini")
     runner = Runner(cfg, slam_map, method, n_particles=n_particles)
     result = runner.run(seed=7, n_ticks=n_ticks)
     m = compute_metrics(result)
+    bound = MARGIN * ref_ate(method, mapname)
     assert np.isfinite(m.ate_rmse), f"{method}/{mapname}: non-finite ATE"
     assert m.ate_rmse < bound, (
-        f"{method}/{mapname}: ATE {m.ate_rmse:.3f} m >= bound {bound}")
+        f"{method}/{mapname}: ATE {m.ate_rmse:.3f} m >= "
+        f"{MARGIN}x reference ({ref_ate(method, mapname):.3f} m)")
     # The run must actually do SLAM: landmarks were mapped.
     assert int(result.final_state.n) > 0
 

@@ -93,3 +93,28 @@ def test_simulator_done_is_absorbing(loop1_config, loop1_map):
     pose = np.asarray(state.vehicle.pose)
     state2, _ = jax.jit(sim.control_step)(state)
     np.testing.assert_array_equal(np.asarray(state2.vehicle.pose), pose)
+
+
+def test_run_length_matches_reference():
+    """Tick-count parity oracle: the simulator's waypoint-loop run length
+    on each reference map must land within 5% of the tick count the real
+    C++ backend measures for the same config (control() returning -1,
+    slamwrapper.cpp:174-238; reference counts recorded in
+    ref_baseline.json by tools/ref_baseline.py). Catches steering,
+    termination, and dt drift cheaply."""
+    import json
+    import os
+
+    from slam_tpu.maps import read_map_file
+    from slam_tpu.runtime import Runner
+
+    ref = json.load(open(os.path.join(os.path.dirname(__file__),
+                                      os.pardir, "ref_baseline.json")))
+    for mapname in ("loop1", "loop2", "loop902", "webmap"):
+        m = read_map_file(f"/root/reference/data/example_{mapname}.mat")
+        cfg = SlamConfig.from_ini(
+            f"/root/reference/data/example_{mapname}.ini")
+        runner = Runner(cfg, m, "EKF1")
+        got = runner.estimate_run_ticks()
+        want = ref[f"{mapname}_run_ticks"]
+        assert abs(got - want) <= 0.05 * want, (mapname, got, want)
