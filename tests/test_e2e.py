@@ -16,48 +16,69 @@ from slam_tpu.maps import read_map_file
 from slam_tpu.runtime import Runner, compute_metrics, write_report
 
 DATA = "/root/reference/data"
-_REF = json.load(open(os.path.join(os.path.dirname(__file__), os.pardir,
-                                   "ref_baseline.json")))
 # Reference ATE x margin. The margin absorbs: different RNG stream,
 # truncated runs (2400 ticks vs the reference's full 12k-34k), and 60
-# particles vs the reference's 100. Measured headroom (3 seeds, CPU) is
-# >=2x the per-case ATE for every case except FS2/webmap (~1.2x).
+# particles vs the reference's 100. The reference anchor is the RMSE
+# over 6 seeds of the real C++ backend (tools/ref_baseline.py); rows
+# whose per-seed spread is intrinsically large (heading drift on
+# webmap with SWITCH_HEADING_KNOWN=0: the reference itself measures
+# 0.25-1.27 m over 10 seeds) assert a seed-averaged RMSE instead of a
+# single draw — same estimator quality bar, far lower flake variance.
 MARGIN = 2.0
 
-# (method, map, n_particles, n_ticks)
+# (method, map, n_particles, n_ticks, seeds)
 CASES = [
-    ("EKF1", "example_loop1", None, 2400),
-    ("FASTSLAM1", "example_loop1", 60, 2400),
-    ("FASTSLAM2", "example_loop1", 60, 2400),
-    ("EKF1", "example_webmap", None, 2400),
-    ("FASTSLAM1", "example_webmap", 60, 2400),
-    ("FASTSLAM2", "example_webmap", 60, 2400),
-    ("FASTSLAM2", "example_loop2", 60, 2400),
-    ("EKF1", "example_loop2", None, 2400),
-    ("FASTSLAM1", "example_loop902", 60, 2400),
-    ("EKF1", "example_loop902", None, 1600),
+    ("EKF1", "example_loop1", None, 2400, (7,)),
+    ("FASTSLAM1", "example_loop1", 60, 2400, (7,)),
+    ("FASTSLAM2", "example_loop1", 60, 2400, (7,)),
+    ("EKF1", "example_webmap", None, 2400, (7,)),
+    ("FASTSLAM1", "example_webmap", 60, 2400, (7, 11, 23)),
+    ("FASTSLAM2", "example_webmap", 60, 2400, (7, 11, 23)),
+    ("FASTSLAM2", "example_loop2", 60, 2400, (7,)),
+    ("EKF1", "example_loop2", None, 2400, (7,)),
+    ("FASTSLAM1", "example_loop902", 60, 2400, (7,)),
+    ("EKF1", "example_loop902", None, 1600, (7,)),
 ]
 
 
-def ref_ate(method: str, mapname: str) -> float:
+@pytest.fixture(scope="module")
+def ref_baseline():
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "ref_baseline.json")
+    if not os.path.exists(path):
+        pytest.skip("ref_baseline.json absent — run tools/ref_baseline.py "
+                    "to measure the reference C++ backend first")
+    with open(path) as f:
+        return json.load(f)
+
+
+def ref_ate(ref, method: str, mapname: str) -> float:
     key = {"EKF1": "ekf1", "FASTSLAM1": "fastslam1",
            "FASTSLAM2": "fastslam2"}[method]
-    return _REF[f"ate_rmse_{key}_{mapname.replace('example_', '')}"]
+    return ref[f"ate_rmse_{key}_{mapname.replace('example_', '')}"]
 
 
-@pytest.mark.parametrize("method,mapname,n_particles,n_ticks", CASES)
-def test_ate_within_reference_bound(method, mapname, n_particles,
-                                    n_ticks):
+@pytest.mark.parametrize("method,mapname,n_particles,n_ticks,seeds",
+                         CASES)
+def test_ate_within_reference_bound(ref_baseline, method, mapname,
+                                    n_particles, n_ticks, seeds):
     slam_map = read_map_file(f"{DATA}/{mapname}.mat")
     cfg = SlamConfig.from_ini(f"{DATA}/{mapname}.ini")
-    runner = Runner(cfg, slam_map, method, n_particles=n_particles)
-    result = runner.run(seed=7, n_ticks=n_ticks)
-    m = compute_metrics(result)
-    bound = MARGIN * ref_ate(method, mapname)
-    assert np.isfinite(m.ate_rmse), f"{method}/{mapname}: non-finite ATE"
-    assert m.ate_rmse < bound, (
-        f"{method}/{mapname}: ATE {m.ate_rmse:.3f} m >= "
-        f"{MARGIN}x reference ({ref_ate(method, mapname):.3f} m)")
+    ates = []
+    for seed in seeds:
+        runner = Runner(cfg, slam_map, method, n_particles=n_particles)
+        result = runner.run(seed=seed, n_ticks=n_ticks)
+        m = compute_metrics(result)
+        assert np.isfinite(m.ate_rmse), \
+            f"{method}/{mapname}/seed={seed}: non-finite ATE"
+        ates.append(m.ate_rmse)
+    ate = float(np.sqrt(np.mean(np.square(ates))))
+    ref = ref_ate(ref_baseline, method, mapname)
+    bound = MARGIN * ref
+    assert ate < bound, (
+        f"{method}/{mapname}: ATE {ate:.3f} m (seeds {list(seeds)}: "
+        f"{[round(a, 3) for a in ates]}) >= {MARGIN}x reference "
+        f"({ref:.3f} m)")
     # The run must actually do SLAM: landmarks were mapped.
     assert int(result.final_state.n) > 0
 

@@ -55,14 +55,17 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     port = _free_port()
     out2 = str(tmp_path / "mh2.npz")
     procs = [_spawn(port, 0, 2, 4, out2), _spawn(port, 1, 2, 4, None)]
-    for p in procs:
-        try:
+    try:
+        for p in procs:
             _, err = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+            assert p.returncode == 0, err
+    finally:
+        # A failed assert (or timeout) must not leak the sibling worker
+        # hung on the dead coordinator.
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise
-        assert p.returncode == 0, err
+                q.wait()
     assert os.path.exists(out2)
 
     # Single-process oracle on the same 8-device global mesh.
