@@ -126,13 +126,21 @@ def gather_particles(state: ParticleState, idx) -> ParticleState:
     copy-and-keep step of resampleParticles, core.cpp:736-748). ``idx``
     indexes the trailing particle axis.
 
-    Implementation: pack all fields into one [C, P] matrix and gather
-    directly along the lane (minor) axis. Measured at 1M particles
-    inside a compiled scan (tools/profile_1m.py): the lane gather runs
-    ~26 ms for the full [185, 1M] state vs ~13.6 s (!) for a
-    transpose -> row-gather -> transpose pipeline (TPU major-axis
-    gathers serialize per row) and ~92 ms for per-field gathers (one
-    big gather amortizes fixed cost better than several small ones)."""
+    On TPU the heavy lifting goes through the sorted-gather Pallas
+    kernel (slam_tpu.ops.pallas.gather): XLA's lane-axis gather with
+    runtime indices reads scattered 4-byte elements against a 512-byte
+    HBM sector — measured 45-180 ms for the full 1M-particle state in
+    the compiled run loop (beware: benchmarking this with *constant*
+    indices lies, XLA const-folds the permutation) — while the kernel
+    rides the non-decreasing structure of stratified ancestors
+    (contiguous input windows per output block) for sequential DMA.
+    On CPU (tests) it falls back to packing into one [C, P] matrix and
+    a single XLA gather."""
+    if jax.default_backend() == "tpu":
+        from slam_tpu.ops.pallas.gather import sorted_gather
+        flat = pack_particle_planes(state)
+        picked = sorted_gather(flat, idx)
+        return unpack_particle_planes(state, picked)
     flat = pack_particle_planes(state)
     picked = flat[:, idx]
     return unpack_particle_planes(state, picked)

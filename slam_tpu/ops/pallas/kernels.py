@@ -29,10 +29,20 @@ from slam_tpu.ops import planes as pk
 
 LANE = 128
 DEFAULT_BLOCK = None  # auto (VMEM-aware)
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
-# Effective live [K, B] f32 planes including Mosaic's double-buffered
-# grid I/O: measured 18.8 MB at block=8064, K=14 => ~42 plane-equivalents.
+# The kernels' live working set is ~42 [K, B] f32 plane-equivalents
+# (measured 18.8 MB at block=8064, K=14) including Mosaic's
+# double-buffered grid I/O. A v5e core has 128 MB of VMEM but Mosaic's
+# default budget is 16 MB, which capped blocks at 2048; we size blocks
+# against a 24 MB budget and raise the compiler limit accordingly
+# (live-validated at block 4096/8192 on a v5e, round 3).
+_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 _LIVE_PLANES = 42
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _auto_block(K: int) -> int:
@@ -40,9 +50,7 @@ def _auto_block(K: int) -> int:
     VMEM budget — fewer grid programs means less per-program overhead at
     large particle counts."""
     b = _VMEM_BUDGET_BYTES // (_LIVE_PLANES * max(K, 1) * 4)
-    # Cap at the production-proven block; raise after a live-compile
-    # validation of the VMEM model at larger blocks.
-    b = min(2048, max(LANE, (b // LANE) * LANE))
+    b = min(8192, max(LANE, (b // LANE) * LANE))
     return int(b)
 
 
@@ -126,6 +134,7 @@ def jacobians_tpu(xv, lmx, lmy, p00, p01, p11, R,
         out_specs=[plane] * 13,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args, r_row)
     return pk.JacobianPlanes(*[o[:, :P] for o in outs])
 
@@ -199,6 +208,7 @@ def _observe_call(xv, lmx, lmy, p00, p01, p11, z, matched, R,
         out_shape=[jax.ShapeDtypeStruct((1, P_pad), xv.dtype)]
         + [jax.ShapeDtypeStruct((K, P_pad), xv.dtype)] * 5,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args, z0, z1, mk, r_row)
     return [o[..., :P] for o in outs]
 
@@ -288,6 +298,7 @@ def fs2_refine_tpu(xv, Pv, lmx, lmy, p00, p01, p11, z, matched, R,
         out_shape=[jax.ShapeDtypeStruct((3, P_pad), xv.dtype),
                    jax.ShapeDtypeStruct((6, P_pad), xv.dtype)],
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args, zm, r_row)
     return xv_r[:, :P], Pv_r[:, :P]
 

@@ -58,12 +58,16 @@ def _cummax_2d(x):
     return jnp.maximum(within, prefix[:, None]).reshape(n)
 
 
-def _take_lanes(v, k, sorted_indices: bool = False):
-    """v[k] for 1-D v, phrased as a 2-D lane-axis gather. XLA's 1-D
-    gather on TPU serializes (measured 6.6 ms at 1.7 GiB/s for [1M]);
-    the [C, P]-shaped lane gather runs two orders faster."""
-    out = v[None, :][:, k]
-    return out[0]
+def _uniform_at(key, pos):
+    """Counter-based U_pos ~ Uniform[0,1) evaluated pointwise at integer
+    positions ``pos`` (equal positions get equal draws — it is one random
+    function of position). Replaces "materialize U[n] then gather at
+    pos": the dynamic 1-D gather serializes on TPU, while the vmapped
+    fold_in is pure elementwise threefry that XLA fuses."""
+    sub = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pos)
+    bits = jax.vmap(lambda q: jax.random.bits(q, (), jnp.uint32))(sub)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        2.0 ** -24)
 
 
 def offspring_bounds(key, csum, n_out: int):
@@ -71,16 +75,16 @@ def offspring_bounds(key, csum, n_out: int):
     u_j = (j + U_j)/n_out, in closed form.
 
     u_j < c  ⟺  j + U_j < n_out*c  ⟺  j < k, or j == k and U_k < frac,
-    with k = floor(n_out*c) — so S needs only one (sorted-index) gather
-    of the dither vector. S is non-decreasing; ancestor i owns output
-    slots [S_{i-1}, S_i). The last entry is forced to n_out so the float
-    tail of the cumsum is absorbed by the final ancestor (the reference's
-    last-block semantics, core.cpp:797-805)."""
+    with k = floor(n_out*c) — so S needs only the dither evaluated AT
+    position k, which a counter-based PRNG provides without a gather.
+    S is non-decreasing; ancestor i owns output slots [S_{i-1}, S_i).
+    The last entry is forced to n_out so the float tail of the cumsum is
+    absorbed by the final ancestor (the reference's last-block
+    semantics, core.cpp:797-805)."""
     n_out_f = jnp.asarray(n_out, csum.dtype)
-    U = jax.random.uniform(key, (n_out,), dtype=csum.dtype)
     t = csum * n_out_f
     k = jnp.clip(t.astype(jnp.int32), 0, n_out - 1)
-    Uk = _take_lanes(U, k, sorted_indices=True)
+    Uk = _uniform_at(key, k).astype(csum.dtype)
     S = k + (Uk < t - k.astype(csum.dtype)).astype(jnp.int32)
     S = jnp.minimum(S, n_out).at[-1].set(n_out)
     return S

@@ -152,7 +152,7 @@ def test_fs2_refine_kernel_matches_jnp():
     got_xv, got_Pv = fs2_refine_tpu(state.xv, state.Pv, *gathered,
                                     z, matched, jnp.asarray(R),
                                     interpret=True)
-    want_xv, want_Pv = _refine_proposal(state, z, slot, matched,
+    want_xv, want_Pv = _refine_proposal(state, z, matched, gathered,
                                         jnp.asarray(R))
     np.testing.assert_allclose(np.asarray(got_xv), np.asarray(want_xv),
                                rtol=1e-4, atol=1e-5)
@@ -189,3 +189,25 @@ def test_plane_jacobians_match_stacked():
             np.testing.assert_allclose(float(J.s01[k, i]),
                                        float(Sf[0, 1]), rtol=1e-3,
                                        atol=1e-6)
+
+
+def test_sorted_gather_exact():
+    """Resampling ancestor gather kernel == XLA gather, bit-exact, for
+    sorted, collapsed, and unsorted indices (unsorted is the slow path
+    but must stay correct)."""
+    from slam_tpu.ops.pallas.gather import sorted_gather
+    rng = np.random.default_rng(5)
+    C, P = 21, 1700
+    flat = jnp.asarray(rng.normal(size=(C, P)).astype(np.float32) * 37)
+    cases = [
+        np.sort(rng.integers(0, P, P)),          # stratified-like
+        np.zeros(P),                              # full collapse
+        rng.integers(0, P, P),                    # unsorted
+        np.sort(rng.integers(0, P, P // 3)),      # n_out != P
+    ]
+    for raw in cases:
+        idx = jnp.asarray(raw.astype(np.int32))
+        got = sorted_gather(flat, idx, interpret=True)
+        want = flat[:, idx]
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
