@@ -33,6 +33,22 @@ from slam_tpu.ops.kalman import (
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _diag_blocks_2x2(Pm, L: int):
+    """[L, 2, 2] per-landmark diagonal blocks of the [2L, 2L] map
+    covariance, read as three strided diagonals — O(L) memory traffic.
+    (The obvious ``Pm.reshape(L, 2, L, 2)[arange, :, arange, :]`` gather
+    materializes O(L^2) intermediates on TPU — a hard wall at 10k
+    landmarks; the reference has the same scaling pain in its dense
+    per-pair association scan, ekfslam.cpp:65-77, 151-189.)"""
+    d0 = jnp.diagonal(Pm)                     # [2L]
+    d1 = jnp.diagonal(Pm, offset=1)           # [2L - 1]
+    p00 = d0[0::2]
+    p11 = d0[1::2]
+    p01 = d1[0::2]
+    return jnp.stack([jnp.stack([p00, p01], -1),
+                      jnp.stack([p01, p11], -1)], -2)
+
+
 class EKFState(NamedTuple):
     """Fixed-capacity joint EKF state.
 
@@ -154,8 +170,7 @@ def _innovation_stats(state: EKFState, z, zmask, R):
 
     # Per-feature joint-covariance blocks.
     P00 = P[:3, :3]                                   # [3, 3]
-    Pmm = P[3:, 3:].reshape(L, 2, L, 2)
-    Pjj = Pmm[jnp.arange(L), :, jnp.arange(L), :]     # [L, 2, 2]
+    Pjj = _diag_blocks_2x2(P[3:, 3:], L)              # [L, 2, 2]
     P0j = P[:3, 3:].T.reshape(L, 2, 3)                # [L, 2, 3] = (Pj0)
 
     zp, Hv, Hf, _ = compute_jacobians(
@@ -230,8 +245,7 @@ def ekf_batch_update(state: EKFState, z, assoc, R) -> EKFState:
     slot = jnp.where(matched, assoc, 0)
 
     lm = x[3:].reshape(L, 2)
-    Pmm = P[3:, 3:].reshape(L, 2, L, 2)
-    Pjj = Pmm[jnp.arange(L), :, jnp.arange(L), :]
+    Pjj = _diag_blocks_2x2(P[3:, 3:], L)
     zp, Hv, Hf, _ = compute_jacobians(
         state.pose, lm[slot], Pjj[slot], jnp.asarray(R, P.dtype))  # [K,...]
 
@@ -353,6 +367,9 @@ class EkfSlam:
 
     # Fields the per-tick predict may modify (run-loop freeze hint).
     PREDICT_TOUCHED = ("x", "P")
+    # Runner hint: EKF estimators observe the noisy IMU heading each tick
+    # (ekfslamwrapper.cpp:81); particle filters get the true heading.
+    IS_EKF = True
 
     def __init__(self, config, n_map_landmarks: int):
         self.config = config

@@ -15,6 +15,7 @@ cross-shard ancestor exchange.
 from slam_tpu.parallel.mesh import make_mesh, particle_sharding
 from slam_tpu.parallel.resampling import ring_resample
 from slam_tpu.parallel.filter import ShardedFastSlam1, ShardedFastSlam2
+from slam_tpu.parallel.ekf import ShardedEkfSlam
 
 __all__ = [
     "make_mesh",
@@ -22,4 +23,5 @@ __all__ = [
     "ring_resample",
     "ShardedFastSlam1",
     "ShardedFastSlam2",
+    "ShardedEkfSlam",
 ]

@@ -25,7 +25,7 @@ import numpy as np
 
 from slam_tpu.config import SlamConfig
 from slam_tpu.maps import SlamMap
-from slam_tpu.models import EkfSlam, make_estimator
+from slam_tpu.models import make_estimator
 from slam_tpu.sim.simulator import SimState, Simulator
 
 
@@ -108,7 +108,7 @@ class Runner:
     def _superstep(self, carry, _):
         sim_state, est_state, key = carry
         period = self.config.steps_per_observe
-        ekf = isinstance(self.est, EkfSlam)
+        ekf = getattr(self.est, "IS_EKF", False)
 
         def tick(c, _):
             sim_state, est_state, key, dr = c
