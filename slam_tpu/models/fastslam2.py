@@ -104,20 +104,22 @@ def fs2_predict(state: ParticleState, key, vn, gn, Q,
     return state._replace(xv=xv, Pv=Pv)
 
 
-def _refine_proposal(state: ParticleState, z, slot, matched, R):
+def _refine_proposal(state: ParticleState, z, matched, gathered, R):
     """Sequential per-feature Gaussian proposal refinement, batched over
     particles (sampleProposal core loop, fastslam2.cpp:321-357).
+    ``gathered``: the (lmx, lmy, p00, p01, p11) [K, P] planes from
+    rbpf.gather_landmarks — pre-gathered so the landmark-sharded filter
+    (slam_tpu.parallel.landmarks) can psum-reconstruct them.
     Returns (xv_r [3, P], Pv_r (6-tuple of [P] planes))."""
     r00, r01, r11 = R[0, 0], R[0, 1], R[1, 1]
+    lmx, lmy, p00, p01, p11 = gathered
     K = z.shape[0]
 
     def body(k, carry):
         xv, Pv = carry
-        s = slot[k]
         J = pk.jacobians_planes(
             xv[0], xv[1], xv[2],
-            state.lm[0, s], state.lm[1, s],
-            state.lm_P[0, s], state.lm_P[1, s], state.lm_P[2, s],
+            lmx[k], lmy[k], p00[k], p01[k], p11[k],
             r00, r01, r11)
         v0 = z[k, 0] - J.zr
         v1 = wrap_angle(z[k, 1] - J.zb)
@@ -136,10 +138,10 @@ def _refine_proposal(state: ParticleState, z, slot, matched, R):
     return xv_r, Pv_r
 
 
-def _log_likelihood_at(state: ParticleState, xvs, z, slot, matched, R):
+def _log_likelihood_at(xvs, z, matched, gathered, R):
     """Sum over matched obs of log N(v; 0, Hf Pf Hf' + R) at poses
     ``xvs`` (likelihoodGivenXv, fastslam2.cpp:370-400), [K, P] planes."""
-    lmx, lmy, p00, p01, p11 = rbpf.gather_landmarks(state, slot)
+    lmx, lmy, p00, p01, p11 = gathered
     J = pk.jacobians_planes(xvs[0][None, :], xvs[1][None, :],
                             xvs[2][None, :], lmx, lmy, p00, p01, p11,
                             R[0, 0], R[0, 1], R[1, 1])
@@ -166,13 +168,13 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     any_obs = jnp.any(zmask)
 
     xv0, Pv0 = state.xv, state.Pv
+    gathered = rbpf.gather_landmarks(state, slot)
     if use_pallas:
         from slam_tpu.ops.pallas import fs2_refine_tpu
-        gathered = rbpf.gather_landmarks(state, slot)
         xv_r, Pv_r = fs2_refine_tpu(state.xv, state.Pv, *gathered,
                                     z, matched, R)
     else:
-        xv_r, Pv_r = _refine_proposal(state, z, slot, matched, R)
+        xv_r, Pv_r = _refine_proposal(state, z, matched, gathered, R)
     Pv_r_t = tuple(Pv_r)
 
     # Sample the proposal (multivariateGauss, fastslam2.cpp:353).
@@ -206,12 +208,13 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
         from slam_tpu.ops.pallas import fs1_observe_tpu
         state = fs1_observe_tpu(state, z, slot, matched, R)
     else:
-        log_lik = _log_likelihood_at(state, state.xv, z, slot, matched,
-                                     R)
+        # The landmark planes are unchanged since the gather; only the
+        # pose moved, so the same gathered planes serve both stages.
+        log_lik = _log_likelihood_at(state.xv, z, matched, gathered, R)
         state = state._replace(logw=state.logw + log_lik)
-        J, v0, v1 = rbpf.observe_planes(state, z, slot, R)
+        J, v0, v1 = rbpf.observe_planes(state, z, slot, R, gathered)
         state = rbpf.update_matched_features(state, slot, matched, v0,
-                                             v1, J)
+                                             v1, J, gathered)
     state = rbpf.add_new_features(state, z, ids, is_new, R)
     if resample_fn is not None:
         return resample_fn(state, key, n_min)
