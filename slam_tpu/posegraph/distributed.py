@@ -93,8 +93,55 @@ def _assemble_local(poses, lm_local, z, lm_idx, mask, Rinv, lam,
     return App_diag, bp_obs, SW, rhs_lm, W, Allinv, bl
 
 
+def _sharded_cost(mesh: Mesh, poses, landmarks, odom, odom_info, z,
+                  lm_idx, mask, R, anchor, L_local: int):
+    """Total weighted cost with the observation term computed per
+    landmark shard (each shard scores the observations of ITS landmarks,
+    psum over the mesh) — no full-landmark re-gather. Odometry + gauge
+    terms are landmark-free and evaluated once, replicated."""
+    axis = mesh.axis_names[0]
+    dtype = poses.dtype
+    Rinv = jnp.linalg.inv(jnp.asarray(R, dtype))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis, None), P(), P(), P()),
+             out_specs=P(), check_vma=False)
+    def obs_cost(poses, lm_local, z_, idx_, mask_):
+        lo = lax.axis_index(axis) * L_local
+        own = mask_ & (idx_ >= lo) & (idx_ < lo + L_local)
+        local_idx = jnp.clip(idx_ - lo, 0, L_local - 1)
+        lm = lm_local[local_idx]
+        dx = lm[..., 0] - poses[:, None, 0]
+        dy = lm[..., 1] - poses[:, None, 1]
+        rng = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-24))
+        brg = jnp.arctan2(dy, dx) - poses[:, None, 2]
+        r0 = z_[..., 0] - rng
+        r1 = wrap_angle(z_[..., 1] - brg)
+        r = jnp.stack([r0, r1], -1) * own.astype(dtype)[..., None]
+        return lax.psum(
+            jnp.einsum("tka,ab,tkb->", r, Rinv, r, precision=_HIGHEST),
+            axis)
+
+    c_obs = obs_cost(poses, landmarks, z, lm_idx, mask)
+    from slam_tpu.posegraph.ba import PRIOR_INFO as _PI
+    r_od, _, _ = _odom_residual_jacobians(poses, odom)
+    c_od = jnp.einsum("ta,ab,tb->", r_od,
+                      jnp.asarray(odom_info, dtype), r_od,
+                      precision=_HIGHEST)
+    rp = _prior_residual(poses, anchor)
+    return c_obs + c_od + _PI * jnp.dot(rp, rp)
+
+
 def make_sharded_gn_step(mesh: Mesh, T: int, L: int):
     """Builds one jitted sharded Gauss-Newton step for fixed shapes."""
+    step = _make_trial_fn(mesh, T, L)
+    return jax.jit(step)
+
+
+def _make_trial_fn(mesh: Mesh, T: int, L: int):
+    """The sharded GN trial step as a plain traceable function (jitted
+    by make_sharded_gn_step; embedded in the LM while_loop by
+    make_lm_iteration)."""
     axis = mesh.axis_names[0]
     S_dev = mesh.devices.size
     if L % S_dev:
@@ -173,41 +220,85 @@ def make_sharded_gn_step(mesh: Mesh, T: int, L: int):
         new_poses = new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))
         return new_poses, landmarks + dl
 
-    return jax.jit(step)
+    return step
+
+
+def make_lm_iteration(mesh: Mesh, T: int, L: int, max_retries: int = 6):
+    """One jitted Levenberg-Marquardt iteration, acceptance ON DEVICE:
+    the damping-retry loop is a lax.while_loop whose body runs the
+    sharded trial step and the sharded psum'd cost — landmarks never
+    leave their shard and no host sync happens per trial. The host syncs
+    exactly once per ACCEPTED step (to read cost/convergence).
+
+    Returns jit(fn)(poses, landmarks, cost, lam, *static) ->
+    (poses', landmarks', cost', lam', accepted)."""
+    trial = _make_trial_fn(mesh, T, L)
+    L_local = L // mesh.devices.size
+
+    def lm_iter(poses, landmarks, cost, lam, odom, odom_info, z,
+                lm_idx, mask, R, anchor):
+        static = (odom, odom_info, z, lm_idx, mask, R, anchor)
+
+        def cond(c):
+            lam_c, _, _, _, tries, acc = c
+            return (~acc) & (tries <= max_retries)
+
+        def body(c):
+            lam_c, _, _, _, tries, _ = c
+            tp, tl = trial(poses, landmarks, *static, lam_c)
+            tc = _sharded_cost(mesh, tp, tl, *static, L_local)
+            acc = jnp.isfinite(tc) & (tc <= cost)
+            lam_n = jnp.where(acc, lam_c,
+                              jnp.minimum(lam_c * 10.0, 1e8))
+            return (lam_n, tp, tl, tc, tries + 1, acc)
+
+        init = (lam, poses, landmarks, jnp.float32(jnp.inf),
+                jnp.int32(0), jnp.bool_(False))
+        lam_f, tp, tl, tc, _tries, acc = jax.lax.while_loop(cond, body,
+                                                            init)
+        new_p = jnp.where(acc, tp, poses)
+        new_l = jnp.where(acc, tl, landmarks)
+        new_cost = jnp.where(acc, tc, cost)
+        new_lam = jnp.where(acc, jnp.maximum(lam_f / 3.0, 1e-9), lam_f)
+        return new_p, new_l, new_cost, new_lam, acc
+
+    return jax.jit(lm_iter)
 
 
 def solve_ba_sharded(prob: BAProblem, mesh: Mesh, iters: int = 10,
                      damping: float = 1e-3, tol: float = 1e-8,
-                     max_retries: int = 6):
+                     max_retries: int = 6, return_info: bool = False):
     """Distributed Schur-complement BA over a landmark-sharded mesh.
 
-    Same Levenberg-Marquardt acceptance loop as solve_ba (the cost
-    check reuses the single-chip _ba_cost; XLA re-gathers the sharded
-    landmark slices, which is cheap next to the Schur contraction)."""
-    step = make_sharded_gn_step(mesh, prob.T, prob.L)
+    Same Levenberg-Marquardt schedule as the single-chip solve_ba
+    (trial kept iff total cost decreases, damping x10 on reject, /3 on
+    accept), but the whole accept/retry loop runs device-side
+    (make_lm_iteration): per LM iteration there is ONE host round trip,
+    the sharded cost is psum'd, and the sharded landmark slices are
+    never re-gathered."""
+    lm_iter = make_lm_iteration(mesh, prob.T, prob.L,
+                                max_retries=max_retries)
     poses = jnp.asarray(prob.poses0, jnp.float32)
     landmarks = jnp.asarray(prob.landmarks0, jnp.float32)
     anchor = poses[0]
     static = (prob.odom, prob.odom_info, prob.z, prob.lm_idx, prob.mask,
               prob.R, anchor)
-    lam = float(damping)
-    cost = float(_ba_cost(poses, landmarks, *static))
+    lam = jnp.float32(damping)
+    cost = _ba_cost(poses, landmarks, *static)
+    costs = [float(cost)]
+    n_iters = 0
     for _ in range(iters):
-        accepted = False
-        for _retry in range(max_retries + 1):
-            trial_p, trial_l = step(poses, landmarks, *static,
-                                    jnp.float32(lam))
-            trial_cost = float(_ba_cost(trial_p, trial_l, *static))
-            if np.isfinite(trial_cost) and trial_cost <= cost:
-                accepted = True
-                break
-            lam = min(lam * 10.0, 1e8)
-        if not accepted:
+        poses, landmarks, new_cost, lam, acc = lm_iter(
+            poses, landmarks, cost, lam, *static)
+        n_iters += 1
+        new_cost_f = float(new_cost)          # the one host sync
+        if not bool(acc):
             break
-        poses, landmarks = trial_p, trial_l
-        gain = cost - trial_cost
-        cost = trial_cost
-        lam = max(lam / 3.0, 1e-9)
-        if gain <= tol * max(cost, 1.0):
+        gain = float(cost) - new_cost_f
+        cost = new_cost
+        costs.append(new_cost_f)
+        if gain <= tol * max(new_cost_f, 1.0):
             break
+    if return_info:
+        return poses, landmarks, {"costs": costs, "n_iters": n_iters}
     return poses, landmarks
