@@ -17,27 +17,37 @@ from slam_tpu.runtime import Runner, compute_metrics, write_report
 
 DATA = "/root/reference/data"
 # Reference ATE x margin. The margin absorbs: different RNG stream,
-# truncated runs (2400 ticks vs the reference's full 12k-34k), and 60
+# truncated runs (vs the reference's full 12k-34k ticks), and 60
 # particles vs the reference's 100. The reference anchor is the RMSE
 # over 6 seeds of the real C++ backend (tools/ref_baseline.py); rows
-# whose per-seed spread is intrinsically large (heading drift on
-# webmap with SWITCH_HEADING_KNOWN=0: the reference itself measures
-# 0.25-1.27 m over 10 seeds) assert a seed-averaged RMSE instead of a
-# single draw — same estimator quality bar, far lower flake variance.
+# whose per-seed spread is intrinsically large assert a seed-averaged
+# RMSE instead of a single draw — same estimator quality bar, far lower
+# flake variance.
+#
+# Per-row margins are set so the MEASURED headroom (bound / measured
+# seed-averaged ATE, CPU, 2026-08) is >= 2x on every row — i.e. a
+# failure signals a real regression, not noise. Rows above 2.0 are
+# justified by measurement, not convenience:
+#   - FASTSLAM1/webmap 3.0: heading-unknown drift regime; the REFERENCE
+#     itself spreads 0.25-1.27 m over 10 seeds, and our 3-seed RMSE
+#     (0.98 m) sits inside that spread vs its 6-seed anchor 0.749 m.
+#   - EKF1/loop2 2.2: parity row — ours 0.216 m vs reference 0.205 m
+#     (within 5%); a 2.0 margin would leave only 1.9x headroom on a
+#     quality gap that does not exist.
 MARGIN = 2.0
 
-# (method, map, n_particles, n_ticks, seeds)
+# (method, map, n_particles, n_ticks, seeds, margin)
 CASES = [
-    ("EKF1", "example_loop1", None, 2400, (7,)),
-    ("FASTSLAM1", "example_loop1", 60, 2400, (7,)),
-    ("FASTSLAM2", "example_loop1", 60, 2400, (7,)),
-    ("EKF1", "example_webmap", None, 2400, (7,)),
-    ("FASTSLAM1", "example_webmap", 60, 2400, (7, 11, 23)),
-    ("FASTSLAM2", "example_webmap", 60, 2400, (7, 11, 23)),
-    ("FASTSLAM2", "example_loop2", 60, 2400, (7,)),
-    ("EKF1", "example_loop2", None, 2400, (7,)),
-    ("FASTSLAM1", "example_loop902", 60, 2400, (7,)),
-    ("EKF1", "example_loop902", None, 1600, (7,)),
+    ("EKF1", "example_loop1", None, 2400, (7,), 2.0),
+    ("FASTSLAM1", "example_loop1", 60, 2400, (7,), 2.0),
+    ("FASTSLAM2", "example_loop1", 60, 4800, (7, 11, 23), 2.0),
+    ("EKF1", "example_webmap", None, 2400, (7,), 2.0),
+    ("FASTSLAM1", "example_webmap", 60, 2400, (7, 11, 23), 3.0),
+    ("FASTSLAM2", "example_webmap", 60, 2400, (7, 11, 23), 2.0),
+    ("FASTSLAM2", "example_loop2", 60, 4800, (7, 11, 23), 2.0),
+    ("EKF1", "example_loop2", None, 4800, (7, 11, 23), 2.2),
+    ("FASTSLAM1", "example_loop902", 60, 2400, (7,), 2.0),
+    ("EKF1", "example_loop902", None, 1600, (7,), 2.0),
 ]
 
 
@@ -58,10 +68,11 @@ def ref_ate(ref, method: str, mapname: str) -> float:
     return ref[f"ate_rmse_{key}_{mapname.replace('example_', '')}"]
 
 
-@pytest.mark.parametrize("method,mapname,n_particles,n_ticks,seeds",
-                         CASES)
+@pytest.mark.parametrize(
+    "method,mapname,n_particles,n_ticks,seeds,margin", CASES)
 def test_ate_within_reference_bound(ref_baseline, method, mapname,
-                                    n_particles, n_ticks, seeds):
+                                    n_particles, n_ticks, seeds,
+                                    margin):
     slam_map = read_map_file(f"{DATA}/{mapname}.mat")
     cfg = SlamConfig.from_ini(f"{DATA}/{mapname}.ini")
     ates = []
@@ -74,10 +85,10 @@ def test_ate_within_reference_bound(ref_baseline, method, mapname,
         ates.append(m.ate_rmse)
     ate = float(np.sqrt(np.mean(np.square(ates))))
     ref = ref_ate(ref_baseline, method, mapname)
-    bound = MARGIN * ref
+    bound = margin * ref
     assert ate < bound, (
         f"{method}/{mapname}: ATE {ate:.3f} m (seeds {list(seeds)}: "
-        f"{[round(a, 3) for a in ates]}) >= {MARGIN}x reference "
+        f"{[round(a, 3) for a in ates]}) >= {margin}x reference "
         f"({ref:.3f} m)")
     # The run must actually do SLAM: landmarks were mapped.
     assert int(result.final_state.n) > 0
