@@ -235,8 +235,48 @@ def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=30):
     return dt
 
 
+def bench_config5(n_particles=1_000_000, capacity=192,
+                  n_supersteps=32):
+    """BASELINE config #5 COMPOSED: landmark-sharded FastSLAM1 on a
+    10k-landmark synthetic map -> problem_from_run -> distributed-BA
+    refinement, one pipeline (slam_tpu.runtime.config5). Single chip
+    runs the 2-D mesh at (1,1) with per-particle capacity bounded to
+    the instantiated landmark set (a FULL 1M x 10k particle map is
+    200 GB — a >=13-chip workload by memory; see config5.py's memory
+    note); the CPU-mesh test covers the real (p, l) shardings."""
+    from slam_tpu.runtime.config5 import run_config5
+    try:
+        r = run_config5(n_particles=n_particles, mesh_shape=(1, 1),
+                        capacity=capacity, n_supersteps=n_supersteps,
+                        rng_impl="rbg")
+    except Exception as e:
+        _log(f"config5 bench failed: {type(e).__name__}: {e}")
+        return None
+    _log(f"config5 composed (FS1 p={n_particles:,} on 10k-landmark "
+         f"map -> BA): {r.steps_per_second:,.1f} ticks/s "
+         f"({r.particle_steps_per_second:,.3g} particle-steps/s), "
+         f"ATE filter {r.ate_filter:.3f} m -> refined "
+         f"{r.ate_refined:.3f} m, {r.n_landmarks_observed} landmarks "
+         f"instantiated, BA {r.ba_seconds:.1f}s/{r.ba_iters} iters")
+    return r
+
+
+def warm_up_device():
+    """Absorb TPU-tunnel/device init into an explicitly reported
+    warm-up step so it cannot pollute the headline compile time
+    (BENCH_r02 showed a 518 s first-compile that was tunnel init, not
+    lowering: the same program compiled in ~4 s once warm)."""
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    jax.block_until_ready(
+        jax.jit(lambda x: (x @ x).sum())(jnp.eye(128)))
+    _log(f"device init + warm-up {time.time() - t0:.1f}s")
+
+
 def main():
     t0 = time.time()
+    warm_up_device()
     m = bench_run("FASTSLAM1", n_particles=100)
 
     baseline = DEFAULT_BASELINE_STEPS_PER_SEC
@@ -267,6 +307,7 @@ def main():
                       n_ticks=800)
         bench_particle_throughput()
         bench_ba_10k()
+        bench_config5()
     except Exception as e:
         _log(f"secondary benches failed: {type(e).__name__}: {e}")
     _log(f"total bench time {time.time() - t0:.1f}s")

@@ -86,6 +86,28 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
                                 dtype=dtype)
     u = (gslot.astype(dtype) + dither) / jnp.asarray(N, dtype)  # [Pl]
 
+    def run_local(state):
+        # Single p-shard: every ancestor is local, so the ring (which
+        # packs the whole state into one [C, Pl] matrix, plus a zeros
+        # output and per-step copies — ~3x the state in HLO temps, an
+        # OOM at 1M particles x 256-landmark capacity) degenerates to a
+        # plain stratified gather. Same dither stream, same
+        # searchsorted semantics, field-at-a-time so peak extra memory
+        # is one field's (input + output), not the packed state.
+        idx = jnp.clip(jnp.searchsorted(csum_rel, u, side="left"),
+                       0, Pl - 1)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            from slam_tpu.ops.pallas.gather import sorted_gather
+        updates = {}
+        for f in particle_fields:
+            arr = getattr(state, f)
+            rows = arr.reshape(-1, arr.shape[-1])
+            picked = sorted_gather(rows, idx) if on_tpu \
+                else rows[:, idx]
+            updates[f] = picked.reshape(arr.shape)
+        return state._replace(**updates)
+
     def run_ring(state):
         # Pack the particle fields into one [C, Pl] matrix: the ring
         # moves a single buffer, and the per-step ancestor pick is a
@@ -140,7 +162,10 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
     # mesh — run it only when the Neff gate fires (`need` is derived
     # from psums, hence uniform across shards, so the cond branch is
     # taken collectively).
-    new_state = lax.cond(need, run_ring, lambda s: s, state)
+    if isinstance(S, int) and S == 1:
+        new_state = lax.cond(need, run_local, lambda s: s, state)
+    else:
+        new_state = lax.cond(need, run_ring, lambda s: s, state)
 
     uniform = jnp.full_like(logw, -jnp.log(jnp.asarray(N, dtype)))
     new_logw = jnp.where(need, uniform, jnp.log(jnp.maximum(wn, 1e-38)))

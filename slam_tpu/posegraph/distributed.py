@@ -276,10 +276,18 @@ def solve_ba_sharded(prob: BAProblem, mesh: Mesh, iters: int = 10,
     (make_lm_iteration): per LM iteration there is ONE host round trip,
     the sharded cost is psum'd, and the sharded landmark slices are
     never re-gathered."""
-    lm_iter = make_lm_iteration(mesh, prob.T, prob.L,
+    S_dev = mesh.devices.size
+    L_pad = -(-prob.L // S_dev) * S_dev
+    lm_iter = make_lm_iteration(mesh, prob.T, L_pad,
                                 max_retries=max_retries)
     poses = jnp.asarray(prob.poses0, jnp.float32)
     landmarks = jnp.asarray(prob.landmarks0, jnp.float32)
+    # Pad the landmark system to a multiple of the shard count. Padded
+    # rows have no observations, so their normal-equation blocks are
+    # pure damping (lam*I) — invertible and inert; they stay at zero.
+    if L_pad != prob.L:
+        landmarks = jnp.concatenate(
+            [landmarks, jnp.zeros((L_pad - prob.L, 2), jnp.float32)])
     anchor = poses[0]
     static = (prob.odom, prob.odom_info, prob.z, prob.lm_idx, prob.mask,
               prob.R, anchor)
@@ -299,6 +307,7 @@ def solve_ba_sharded(prob: BAProblem, mesh: Mesh, iters: int = 10,
         costs.append(new_cost_f)
         if gain <= tol * max(new_cost_f, 1.0):
             break
+    landmarks = landmarks[:prob.L]
     if return_info:
         return poses, landmarks, {"costs": costs, "n_iters": n_iters}
     return poses, landmarks

@@ -69,7 +69,7 @@ def main():
     m = compute_metrics(result)
     print(f"[proc {args.process_id}/{args.num_processes}] "
           f"{n_global}-device mesh, {args.particles} particles: "
-          f"{m.steps_per_second:,.0f} steps/s  ATE {m.ate_rmse:.4f} m",
+          f"{m.steps_per_second:,.2f} steps/s  ATE {m.ate_rmse:.4f} m",
           file=sys.stderr, flush=True)
     if args.out and jax.process_index() == 0:
         np.savez(args.out, est_pose=result.est_pose,
