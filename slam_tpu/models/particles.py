@@ -137,13 +137,40 @@ def gather_particles(state: ParticleState, idx) -> ParticleState:
     On CPU (tests) it falls back to packing into one [C, P] matrix and
     a single XLA gather."""
     if jax.default_backend() == "tpu":
-        from slam_tpu.ops.pallas.gather import sorted_gather
-        flat = pack_particle_planes(state)
-        picked = sorted_gather(flat, idx)
-        return unpack_particle_planes(state, picked)
+        from slam_tpu.ops.pallas.gather import sorted_gather_multi
+        return _gather_tpu(state, sorted_gather_multi, idx)
     flat = pack_particle_planes(state)
     picked = flat[:, idx]
-    return unpack_particle_planes(state, picked)
+    return unpack_particle_planes(state, flat[:, idx])
+
+
+def gather_particles_bounds(state: ParticleState, S) -> ParticleState:
+    """TPU resample gather driven directly by offspring bounds ``S``
+    (slam_tpu.ops.resampling.offspring_bounds) — the ancestor index
+    vector is never materialized, which removes the O(N) run-length
+    decode (a serialized 1-D scatter, ~11 ms at 1M) from the resample
+    path. Non-TPU callers should use gather_particles."""
+    from slam_tpu.ops.pallas.gather import bounds_gather_multi
+    return _gather_tpu(state, bounds_gather_multi, S)
+
+
+def _gather_tpu(state: ParticleState, gather_fn, sel) -> ParticleState:
+    """Shared TPU gather: reshaped views (leading-axis collapse — no
+    data movement) go straight to the multi-ref kernel; only the 10
+    small pose rows are packed (40 MB at 1M particles). The round-3
+    single-ref path concatenated + padded the FULL state — two extra
+    state-sized copies per resample."""
+    P = state.n_particles
+    L = state.capacity
+    small = jnp.concatenate([state.logw[None, :], state.xv,
+                             state.Pv], axis=0)              # [10, P]
+    small_g, lm_g, lmP_g = gather_fn(
+        [small, state.lm.reshape(2 * L, P),
+         state.lm_P.reshape(3 * L, P)], sel)
+    N = small_g.shape[-1]
+    return state._replace(
+        logw=small_g[0], xv=small_g[1:4], Pv=small_g[4:10],
+        lm=lm_g.reshape(2, L, N), lm_P=lmP_g.reshape(3, L, N))
 
 
 # ---------------------------------------------------------------------------

@@ -19,13 +19,35 @@ from slam_tpu.ops import planes as pk
 from slam_tpu.ops.resampling import resample_particles
 
 
-def sample_controls(key, vn, gn, Q, n_particles: int, add_noise):
+TILE_SUB = 8
+
+
+def tile_shape(P: int):
+    """Sublane-blocked particle shape [8, P/8] for full-width VPU
+    tiles, or the flat (P,) when P doesn't tile.
+
+    Per-tick predict math runs on sliced [1, P] planes whose T(1,128)
+    layout uses one sublane in eight — measured 0.43 ms for a 1M-lane
+    multiply-add chain that moves 4 MB (round-4 trace). Reshaping the
+    trailing particle axis to [8, P/8] (a free row-major bitcast; the
+    PRNG draws the same stream, counters are linear-index based) turns
+    every elementwise op into full (8, 128) tiles."""
+    for sub in (8, 4, 2):
+        if P % (sub * 128) == 0:
+            return (sub, P // sub)
+    return (P,)
+
+
+def sample_controls(key, vn, gn, Q, shape, add_noise):
     """Per-particle control sample ~ N((vn, gn), Q) (the multivariateGauss
     draw in predictState, fastslam1.cpp:37-54). Q is diagonal in every
-    shipped config; the general 2x2 Cholesky costs nothing extra."""
+    shipped config; the general 2x2 Cholesky costs nothing extra.
+    ``shape``: particle-axis shape — (P,) or the blocked tile_shape."""
+    if isinstance(shape, int):
+        shape = (shape,)
     Q = jnp.asarray(Q, jnp.float32)
     L = jnp.linalg.cholesky(Q + 1e-20 * jnp.eye(2, dtype=Q.dtype))
-    eps = jax.random.normal(key, (2, n_particles), dtype=Q.dtype)
+    eps = jax.random.normal(key, (2,) + tuple(shape), dtype=Q.dtype)
     n0 = L[0, 0] * eps[0]
     n1 = L[1, 0] * eps[0] + L[1, 1] * eps[1]
     on = jnp.asarray(add_noise, Q.dtype)
@@ -56,15 +78,18 @@ def observe_heading_particles(state: ParticleState, phi, sigma_phi
     """Per-particle scalar heading Joseph update on (xv, Pv)
     (fastslam1.cpp:74-86; a no-op while Pv == 0, exactly like the
     reference). Packed-symmetric Joseph form, fully expanded."""
+    P = state.n_particles
+    shp = tile_shape(P)
+    xv_b = state.xv.reshape(3, *shp)
     r = sigma_phi * sigma_phi
-    a, b, c, d, e, f = state.Pv
+    a, b, c, d, e, f = state.Pv.reshape(6, *shp)
     s = f + r
     k0, k1, k2 = c / s, e / s, f / s
-    v = wrap_angle(phi - state.xv[2])
+    v = wrap_angle(phi - xv_b[2])
 
-    xv = jnp.stack([state.xv[0] + k0 * v,
-                    state.xv[1] + k1 * v,
-                    wrap_angle(state.xv[2] + k2 * v)])
+    xv = jnp.stack([xv_b[0] + k0 * v,
+                    xv_b[1] + k1 * v,
+                    wrap_angle(xv_b[2] + k2 * v)])
 
     # P' = (I - K e3') P (I - K e3')' + r K K'.
     q2 = 1.0 - k2
@@ -76,7 +101,7 @@ def observe_heading_particles(state: ParticleState, phi, sigma_phi
         q2 * (e - k1 * f) + r * k1 * k2,
         q2 * q2 * f + r * k2 * k2,
     ])
-    return state._replace(xv=xv, Pv=Pv)
+    return state._replace(xv=xv.reshape(3, P), Pv=Pv.reshape(6, P))
 
 
 def associate_known(state: ParticleState, ids, zmask):
@@ -95,9 +120,10 @@ def scatter_slots(planes, tgt, vals, valid):
     Not an XLA scatter: a one-hot contraction over K (slots are unique),
     which maps onto the MXU instead of TPU scatter's serialized
     dynamic-update loop. At 1M particles this is the difference between
-    ~0.5 ms and tens of ms per observe. (An unrolled chain of K
-    dynamic-update-slice row writes was also measured: the 2K serialized
-    small ops lose to the one fused full-buffer rewrite.)"""
+    ~0.5 ms and tens of ms per observe. (Re-measured round 4: the
+    row-granular ``.at[:, tgt, :].set(mode="drop")`` form lowers to a
+    while-of-dynamic-update-slice at ~0.7 ms per 4 MB row — 9.6 ms per
+    observe vs ~2.8 ms for this full-buffer rewrite.)"""
     L = planes.shape[1]
     sel = ((tgt[:, None] == jnp.arange(L)[None, :])
            & valid[:, None]).astype(planes.dtype)       # [K, L]
@@ -192,11 +218,35 @@ def resample(state: ParticleState, key, n_min, do_resample) -> ParticleState:
     The ancestor gather permutes the FULL particle state along the lane
     axis — at 1M particles that is ~GBs of cross-lane traffic — so it
     runs under lax.cond and is skipped entirely on the (common)
-    Neff >= n_min ticks."""
-    idx, new_logw, did = resample_particles(key, state.logw, n_min,
-                                            do_resample)
-    state = jax.lax.cond(did,
-                         lambda s: gather_particles(s, idx),
-                         lambda s: s,
-                         state)
+    Neff >= n_min ticks. On TPU (particle counts that tile the kernel
+    blocks) the gather is driven directly by the offspring bounds —
+    the ancestor index vector is never materialized (see
+    gather_particles_bounds)."""
+    from slam_tpu.ops import resampling as rs
+
+    n = state.n_particles
+    logw_n = rs.normalize_log_weights(state.logw)
+    neff = jnp.exp(-jax.scipy.special.logsumexp(2.0 * logw_n, axis=-1))
+    need = jnp.asarray(do_resample) & (neff < n_min)
+    uniform = jnp.full_like(logw_n, -jnp.log(jnp.float32(n)))
+    new_logw = jnp.where(need, uniform, logw_n)
+
+    if jax.default_backend() == "tpu" and n % 256 == 0:
+        from slam_tpu.models.particles import gather_particles_bounds
+
+        def do(s):
+            csum = rs._cumsum_2d(jnp.exp(logw_n))
+            S = rs.offspring_bounds(key, csum, n)
+            return gather_particles_bounds(s, S)
+
+        state = jax.lax.cond(need, do, lambda s: s, state)
+    else:
+        idx = jax.lax.cond(
+            need,
+            lambda: rs.stratified_indices(key, logw_n),
+            lambda: jnp.arange(n, dtype=jnp.int32))
+        state = jax.lax.cond(need,
+                             lambda s: gather_particles(s, idx),
+                             lambda s: s,
+                             state)
     return state._replace(logw=new_logw)

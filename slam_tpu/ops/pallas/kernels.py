@@ -303,6 +303,176 @@ def fs2_refine_tpu(xv, Pv, lmx, lmy, p00, p01, p11, z, matched, R,
     return xv_r[:, :P], Pv_r[:, :P]
 
 
+# ---------------------------------------------------------------------------
+# Kernel 4: fully-fused in-place FS1 update (gather + Jacobians +
+# likelihood + feature EKF + new-feature init + scatter, one state pass)
+# ---------------------------------------------------------------------------
+
+def _col(ref, col, K):
+    """[K, 1] sublane vector from column ``col`` of an SMEM [K, c]
+    array (K static, unrolled scalar reads)."""
+    return jnp.concatenate([ref[k, col][None, None] for k in range(K)],
+                           axis=0)
+
+
+def _lane(ref, col, K):
+    """[1, K] lane vector from column ``col`` of an SMEM [K, c]."""
+    return jnp.concatenate([ref[k, col][None, None] for k in range(K)],
+                           axis=1)
+
+
+def _exact_matmul(sel_bf16, x):
+    """Exact one-hot contraction sel @ x via the 3-way bf16 mantissa
+    split of x (slam_tpu.ops.pallas.gather): every product is
+    (value * 1.0) or 0, so the sum is the selected value bit-exactly."""
+    from slam_tpu.ops.pallas.gather import _split3_bf16
+    xa, xb, xc = _split3_bf16(x)
+    return (jnp.dot(sel_bf16, xa, preferred_element_type=jnp.float32)
+            + jnp.dot(sel_bf16, xb, preferred_element_type=jnp.float32)
+            + jnp.dot(sel_bf16, xc, preferred_element_type=jnp.float32))
+
+
+def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
+                         r_ref, dlogw_ref, lmo_ref, lmPo_ref,
+                         *, L: int, K: int):
+    """One VMEM-resident pass per lane block: landmark gather (one-hot
+    MXU), Jacobians, per-obs log-likelihood, matched-feature 2x2 EKF
+    updates, new-feature initialization, and the combined scatter-back
+    — with the landmark planes aliased in place.
+
+    Replaces the round-3 chain gather_landmarks -> _observe_call ->
+    scatter_slots -> add_new_features, whose HLO moved the [5L, P]
+    landmark state ~4x per observe (gather-relayout copies, the
+    one-hot rewrite, and lax.cond carry copies; see the round-4 trace
+    notes in BENCH_NOTES.md)."""
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+
+    slotm_c = _col(slt_ref, 0, K)                     # [K, 1]
+    slotm_r = _lane(slt_ref, 0, K)                    # [1, K]
+    slotn_r = _lane(slt_ref, 1, K)
+    z0 = _col(zm_ref, 0, K)
+    z1 = _col(zm_ref, 1, K)
+    m_col = _col(zm_ref, 2, K)                        # matched [K, 1]
+    m_row = _lane(zm_ref, 2, K)                       # [1, K]
+    n_row = _lane(zm_ref, 3, K)                       # new-ok [1, K]
+
+    # Gather one-hot [K, L] (unmatched park at slot 0, as the unfused
+    # gather does) and masked scatter one-hots [L, K].
+    sel = (lane_l == slotm_c).astype(jnp.bfloat16)
+    selT_m = ((sub_l == slotm_r) & (m_row > 0)).astype(jnp.bfloat16)
+    selT_n = ((sub_l == slotn_r) & (n_row > 0)).astype(jnp.bfloat16)
+    keep = 1.0 - (jnp.sum(selT_m, axis=1, keepdims=True)
+                  + jnp.sum(selT_n, axis=1, keepdims=True))  # [L, 1]
+
+    lmx = _exact_matmul(sel, lm_ref[0:L, :])
+    lmy = _exact_matmul(sel, lm_ref[L:2 * L, :])
+    p00 = _exact_matmul(sel, lmP_ref[0:L, :])
+    p01 = _exact_matmul(sel, lmP_ref[L:2 * L, :])
+    p11 = _exact_matmul(sel, lmP_ref[2 * L:3 * L, :])
+
+    r00, r01, r11 = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
+    xvx, xvy, xvt = (xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :])
+    J = pk.jacobians_planes(xvx, xvy, xvt, lmx, lmy, p00, p01, p11,
+                            r00, r01, r11)
+    v0 = z0 - J.zr
+    v1 = wrap_angle(z1 - J.zb)
+
+    logl = pk.log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11)
+    dlogw_ref[:, :] = jnp.sum(logl * m_col, axis=0, keepdims=True)
+
+    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
+    ini = pk.feature_init_planes(xvx, xvy, xvt, z0, z1, r00, r01, r11)
+
+    def scat(rows, u, i):
+        return (rows * keep + _exact_matmul(selT_m, u)
+                + _exact_matmul(selT_n, i))
+
+    lmo_ref[0:L, :] = scat(lm_ref[0:L, :], upd.nx, ini[0])
+    lmo_ref[L:2 * L, :] = scat(lm_ref[L:2 * L, :], upd.ny, ini[1])
+    lmPo_ref[0:L, :] = scat(lmP_ref[0:L, :], upd.np00, ini[2])
+    lmPo_ref[L:2 * L, :] = scat(lmP_ref[L:2 * L, :], upd.np01, ini[3])
+    lmPo_ref[2 * L:3 * L, :] = scat(lmP_ref[2 * L:3 * L, :], upd.np11,
+                                    ini[4])
+
+
+def _fused_block(P: int, L: int) -> int | None:
+    """Largest LANE-multiple block dividing P that fits the budget
+    (the in/out landmark blocks dominate the working set); None if P
+    is not a LANE multiple (callers fall back to the unfused path)."""
+    if P % LANE != 0:
+        return None
+    per_lane = (2 * (2 * (3 + 5 * L) + 1) + 45 * 14 + 200) * 4
+    cap = max(LANE, _VMEM_BUDGET_BYTES * 2 // per_lane)
+    best = None
+    for d in range(1, P // LANE + 1):
+        if (P // LANE) % d == 0 and d * LANE <= cap:
+            best = d * LANE
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
+                   interpret: bool = False):
+    """Fused in-place FS1 observation update on a ParticleState:
+    weight delta + matched-feature EKF + new-feature planes in ONE
+    kernel pass over the landmark state (aliased — no full-buffer
+    rewrite, no gather relayout). Semantically identical to
+    fs1_observe_tpu + add_new_features' plane writes (golden-tested in
+    tests/test_pallas.py); the id-table/count bookkeeping stays with
+    the caller."""
+    P = state.n_particles
+    L = state.capacity
+    K = z.shape[0]
+    B = _fused_block(P, L)
+    assert B is not None, "P must be LANE-aligned for the fused path"
+    lm2 = state.lm.reshape(2 * L, P)
+    lmP2 = state.lm_P.reshape(3 * L, P)
+    zm = jnp.stack([z[:, 0], z[:, 1],
+                    matched.astype(z.dtype),
+                    ok_new.astype(z.dtype)], axis=1)         # [K, 4]
+    slt = jnp.stack([jnp.where(matched, slot, 0),
+                     jnp.where(ok_new, slot_new, 0)],
+                    axis=1).astype(jnp.int32)                # [K, 2]
+    r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
+                        state.xv.dtype).reshape(1, 3)
+
+    grid = P // B
+    dlogw, lm_o, lmP_o = pl.pallas_call(
+        functools.partial(_fused_update_kernel, L=L, K=K),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * L, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * L, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # zm
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # slt
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),           # R
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * L, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * L, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, P), state.xv.dtype),
+                   jax.ShapeDtypeStruct((2 * L, P), state.xv.dtype),
+                   jax.ShapeDtypeStruct((3 * L, P), state.xv.dtype)],
+        input_output_aliases={1: 1, 2: 2},
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(state.xv, lm2, lmP2, zm, slt, r_row)
+    return state._replace(logw=state.logw + dlogw[0],
+                          lm=lm_o.reshape(2, L, P),
+                          lm_P=lmP_o.reshape(3, L, P))
+
+
 def fs1_observe_tpu(state, z, slot, matched, R,
                     block: int = DEFAULT_BLOCK, interpret: bool = False):
     """Fused FastSLAM1 observation update on a ParticleState: gathers the

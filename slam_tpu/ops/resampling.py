@@ -45,17 +45,45 @@ def _cummax_2d(x):
     """lax.cummax for long 1-D int vectors via a [rows, lanes] block
     decomposition. XLA's native 1-D cumulative ops on TPU run in a
     T(1024) serialized layout (measured 6.9 ms at 0.5 GiB/s for [1M]
-    int32); within-row scan + row-prefix combine runs at VPU speed."""
+    int32); within-row scan + row-prefix combine runs at VPU speed.
+    Non-multiple lengths are padded (identity element at the tail
+    doesn't change any prefix) — the round-3 version silently fell
+    back to the serialized op whenever 1024 didn't divide n, which is
+    every webmap particle count."""
     n = x.shape[0]
     C = 1024
-    if n % C != 0 or n <= C:
+    if n <= C:
         return jax.lax.cummax(x)
-    rows = x.reshape(n // C, C)
+    n_pad = -(-n // C) * C
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.full((n_pad - n,), jnp.iinfo(x.dtype).min, x.dtype)])
+    rows = x.reshape(n_pad // C, C)
     within = jax.lax.cummax(rows, axis=1)
     prefix = jax.lax.cummax(within[:, -1])          # [n/C] small
     prefix = jnp.concatenate([jnp.full((1,), jnp.iinfo(x.dtype).min,
                                        x.dtype), prefix[:-1]])
-    return jnp.maximum(within, prefix[:, None]).reshape(n)
+    return jnp.maximum(within, prefix[:, None]).reshape(n_pad)[:n]
+
+
+def _cumsum_2d(x):
+    """Blocked inclusive cumsum for long 1-D f32 vectors (same layout
+    trick as _cummax_2d; XLA's 1-D cumsum serializes identically —
+    the 6.8 ms `fusion` in the 1M-particle resample trace was this).
+    Summation order differs from jnp.cumsum by the block regrouping;
+    the stratified pick tolerates any consistent prefix-sum."""
+    n = x.shape[0]
+    C = 1024
+    if n <= C:
+        return jnp.cumsum(x)
+    n_pad = -(-n // C) * C
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.zeros((n_pad - n,), x.dtype)])
+    rows = x.reshape(n_pad // C, C)
+    within = jnp.cumsum(rows, axis=1)
+    prefix = jnp.cumsum(within[:, -1])              # [n/C] small
+    prefix = jnp.concatenate([jnp.zeros((1,), x.dtype), prefix[:-1]])
+    return (within + prefix[:, None]).reshape(n_pad)[:n]
 
 
 def _uniform_at(key, pos):
@@ -117,7 +145,7 @@ def stratified_indices(key, logw, n_out: int | None = None):
     n = logw.shape[-1]
     n_out = n if n_out is None else n_out
     w = jnp.exp(normalize_log_weights(logw))
-    csum = jnp.cumsum(w, axis=-1)
+    csum = _cumsum_2d(w)
     S = offspring_bounds(key, csum, n_out)
     return jnp.clip(ancestors_from_bounds(S, n_out), 0, n - 1)
 

@@ -47,7 +47,11 @@ class _ShardedFastSlamBase:
                  predict_noise: bool = True):
         self.config = config
         self.n_map = n_map_landmarks
-        self.capacity = config.max_landmarks or n_map_landmarks
+        # Capacity rounds up to a multiple of 8 (free: slots beyond
+        # ``n`` are dead) so the resample gather kernel's reshaped
+        # [2L, P]/[3L, P] views are sublane-aligned with no row pad.
+        cap = config.max_landmarks or n_map_landmarks
+        self.capacity = -(-cap // 8) * 8
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size

@@ -121,12 +121,9 @@ class Runner:
             else:
                 phi = sim_state.vehicle.pose[2]
             key, sub = jax.random.split(key)
-            new_est = self.est.predict(est_state, sub, controls.v_noisy,
-                                       controls.g_noisy, phi)
-            # Freeze the estimator once the run is done.
-            est_state = _freeze(
-                sim_state.vehicle.done, new_est, est_state,
-                touched=getattr(self.est, "PREDICT_TOUCHED", None))
+            est_state = self.est.predict(est_state, sub,
+                                         controls.v_noisy,
+                                         controls.g_noisy, phi)
             # Dead-reckoning odometry: integrate the NOISY controls from
             # the superstep origin — an independent relative-pose
             # measurement for the pose-graph refinement stage.
@@ -143,14 +140,17 @@ class Runner:
 
         sim_state, obs = self.sim.observe_step(sim_state)
         key, sub = jax.random.split(key)
-        new_est = self.est.update(est_state, sub, obs.z, obs.ids, obs.mask)
-        # Freeze-on-done as a cond, not a where: a per-leaf select reads
-        # both full trees every superstep (~1.5 GB at 1M particles);
-        # the cond only forwards buffers.
-        est_state = jax.lax.cond(sim_state.vehicle.done,
-                                 lambda old, new: old,
-                                 lambda old, new: new,
-                                 est_state, new_est)
+        # No freeze-on-done: the estimator keeps stepping over the (at
+        # most period-1) tail ticks past waypoint completion, and every
+        # consumer masks by the recorded ``active`` flag instead. The
+        # round-3 freeze (a lax.cond selecting old-vs-new state) kept
+        # the PRE-update state alive across the update, which forced
+        # XLA to copy the full landmark planes twice per superstep
+        # before the in-place fused kernel (round-4 HLO: copy.192/193 +
+        # copy.138/139) — ~7 ms/superstep at 1M particles for a branch
+        # that only ever fires on the final partial superstep.
+        est_state = self.est.update(est_state, sub, obs.z, obs.ids,
+                                    obs.mask)
 
         out = (sim_state.vehicle.pose,
                self.est.pose(est_state),
@@ -189,6 +189,11 @@ class Runner:
         t1 = time.perf_counter()
         (_, final_est, _), outs = compiled(sim_state, est_state, key)
         jax.block_until_ready(outs)
+        # block_until_ready through the axon tunnel can return before
+        # execution finishes (measured: a 7.6 s matmul chain "blocked"
+        # in 0.09 ms and the wait surfaced at the first fetch);
+        # fetching one element is the only reliable completion fence.
+        np.asarray(jax.tree_util.tree_leaves(outs)[0]).ravel()[:1]
         t2 = time.perf_counter()
 
         (true_pose, est_pose, active, obs_count, range_sum, z, zmask,

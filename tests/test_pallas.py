@@ -121,6 +121,62 @@ def test_fs1_observe_tpu_matches_jnp_update():
                                atol=1e-5)
 
 
+def test_fs1_fused_update_matches_unfused_sequence():
+    """Kernel 4 (single-pass gather+weight+EKF+init+scatter, aliased)
+    == the unfused chain observe_planes -> update_matched_features ->
+    add_new_features on the same state, including mixed matched/new/
+    invalid observations."""
+    from slam_tpu.ops.pallas.kernels import fs1_update_tpu
+    from slam_tpu.ops.planes import log_gauss2_planes
+    P, L = 256, 8
+    rng = np.random.default_rng(11)
+    state = init_particles(P, L, 12)
+    lm = rng.normal(size=(2, L, P)).astype(np.float32) * 5
+    lm_P = np.zeros((3, L, P), np.float32)
+    lm_P[0] = 0.1
+    lm_P[2] = 0.1
+    table = -np.ones(12, np.int32)
+    table[[3, 7, 9]] = [0, 1, 2]
+    state = state._replace(
+        xv=jnp.asarray(rng.normal(size=(3, P)).astype(np.float32) * 0.1),
+        lm=jnp.asarray(lm), lm_P=jnp.asarray(lm_P), n=jnp.int32(3),
+        da_table=jnp.asarray(table))
+
+    # Obs 0: matched slot 0; obs 1: NEW id 5; obs 2: invalid (masked);
+    # obs 3: matched slot 2.
+    z = jnp.asarray(np.array([[5.0, 0.3], [4.0, -0.2], [3.0, 0.1],
+                              [6.0, -0.4]], np.float32))
+    ids = jnp.asarray(np.array([3, 5, 4, 9], np.int32))
+    zmask = jnp.asarray(np.array([True, True, False, True]))
+
+    assoc, is_new = rbpf.associate_known(state, ids, zmask)
+    matched = assoc >= 0
+    slot = jnp.where(matched, assoc, 0)
+    offset = (jnp.cumsum(is_new.astype(jnp.int32))
+              - is_new.astype(jnp.int32))
+    slot_new = state.n + offset
+    ok = is_new & (slot_new < L)
+
+    got = fs1_update_tpu(state, z, slot, matched, slot_new, ok,
+                         jnp.asarray(R), interpret=True)
+
+    J, v0, v1 = rbpf.observe_planes(state, z, slot, jnp.asarray(R))
+    logl = jnp.where(matched[:, None],
+                     log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11), 0.0)
+    want = state._replace(logw=state.logw + jnp.sum(logl, axis=0))
+    want = rbpf.update_matched_features(want, slot, matched, v0, v1, J)
+    want = rbpf.add_new_features(want, z, ids, is_new, jnp.asarray(R))
+
+    np.testing.assert_allclose(np.asarray(got.logw),
+                               np.asarray(want.logw), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lm), np.asarray(want.lm),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lm_P),
+                               np.asarray(want.lm_P), rtol=1e-3,
+                               atol=1e-5)
+
+
 def test_fs2_refine_kernel_matches_jnp():
     """Fused FS2 proposal refinement == the sequential jnp fori_loop
     (_refine_proposal), including unmatched-slot pass-through."""
