@@ -34,6 +34,25 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Lines whose seed-averaged ATE exceeded the measured reference ATE
+# for the same workload (surfaced in the final JSON as "ate_warn" so a
+# real accuracy regression can never ship silently again).
+ATE_WARNINGS: list = []
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: identical programs compile
+    once per machine, not once per bench run. The axon remote-compile
+    path is volatile (3 s-minutes for the same HLO; BENCH_NOTES
+    "Compile time"), and the cache is the mitigation — second runs hit
+    it and report sub-second compiles."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def _ref(key, default=None):
     try:
         with open(BASELINE_FILE) as fh:
@@ -42,15 +61,25 @@ def _ref(key, default=None):
         return default
 
 
-def _ate_str(method: str, mapname: str, ate: float) -> str:
-    """ATE with the measured reference ATE for the same map x method
-    alongside (3-seed average of the real C++ backend's own
-    DataGatherer error metric — tools/ref_baseline.py)."""
+def _ref_ate(method: str, mapname: str):
     k = {"EKF1": "ekf1", "FASTSLAM1": "fastslam1",
          "FASTSLAM2": "fastslam2"}[method]
-    ref = _ref(f"ate_rmse_{k}_{mapname.replace('example_', '')}")
-    return (f"ATE {ate:.3f} m (ref {ref:.3f} m)" if ref
-            else f"ATE {ate:.3f} m")
+    return _ref(f"ate_rmse_{k}_{mapname.replace('example_', '')}")
+
+
+def _ate_str(method: str, mapname: str, ate: float, label="ATE") -> str:
+    """ATE with the measured reference ATE for the same map x method
+    alongside (multi-seed average of the real C++ backend's own
+    DataGatherer error metric — tools/ref_baseline.py). Registers an
+    ATE_WARNINGS entry when we are WORSE than the reference."""
+    ref = _ref_ate(method, mapname)
+    if ref is None:
+        return f"{label} {ate:.3f} m"
+    if ate > ref:
+        ATE_WARNINGS.append(
+            {"line": f"{method}_{mapname}", "ate": round(ate, 3),
+             "ref": round(ref, 3)})
+    return f"{label} {ate:.3f} m (ref {ref:.3f} m)"
 
 
 def load_workload():
@@ -66,18 +95,33 @@ def load_workload():
                                                              radius=100.0)
 
 
-def bench_run(method: str, n_particles, n_ticks: int = 4000, seed=3):
+def bench_run(method: str, n_particles, n_ticks: int = 4000,
+              seeds=(3, 4, 5)):
+    """Webmap line: steps/s from the first seed's steady-state run,
+    ATE averaged over ``seeds`` (the heading-unknown webmap spreads
+    0.25-1.27 m over seeds for the reference itself — a single draw
+    proves nothing in either direction)."""
     from slam_tpu.runtime import Runner, compute_metrics
     cfg, slam_map = load_workload()
     runner = Runner(cfg, slam_map, method, n_particles=n_particles)
-    result = runner.run(seed=seed, n_ticks=n_ticks)
-    m = compute_metrics(result)
+    m0 = None
+    compile0 = wall0 = 0.0
+    ates = []
+    for seed in seeds:
+        result = runner.run(seed=seed, n_ticks=n_ticks)
+        m = compute_metrics(result)
+        ates.append(m.ate_rmse)
+        if m0 is None:
+            m0, compile0, wall0 = m, result.compile_seconds, \
+                result.wall_seconds
+    ate = sum(ates) / len(ates)
     _log(f"{method} p={n_particles or cfg.NPARTICLES}: "
-         f"{m.steps_per_second:,.0f} steps/s  "
-         f"{_ate_str(method, 'example_webmap', m.ate_rmse)}  "
-         f"compile {result.compile_seconds:.1f}s wall "
-         f"{result.wall_seconds:.2f}s")
-    return m
+         f"{m0.steps_per_second:,.0f} steps/s  "
+         f"{_ate_str(method, 'example_webmap', ate, label=f'ATE({len(seeds)}-seed)')}  "
+         f"[" + " ".join(f"{a:.2f}" for a in ates) + "]  "
+         f"compile {compile0:.1f}s wall {wall0:.2f}s")
+    import dataclasses
+    return dataclasses.replace(m0, ate_rmse=ate)
 
 
 def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16):
@@ -120,6 +164,33 @@ def bench_map_run(method, mapname, n_particles, n_ticks=2000, seed=3):
     _log(f"{method} {mapname} p={n_particles or cfg.NPARTICLES}: "
          f"{m.steps_per_second:,.0f} steps/s  "
          f"{_ate_str(method, mapname, m.ate_rmse)}")
+    return m
+
+
+def bench_ekf_10k(n_landmarks=10_000, n_ticks=640):
+    """Landmark-sharded EKF at 10k landmarks — the component built to
+    beat the reference's O(N^2)-per-observe wall (ekfslam.cpp:65-77;
+    its joint covariance at 2L = 20k is 1.6 GB and every observe
+    touches all of it). Single chip runs the 1-device landmark mesh;
+    >=2-way sharding equality is covered by tests/test_parallel_ekf.py
+    and the driver dryrun."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from slam_tpu.parallel.ekf import ShardedEkfSlam
+    from slam_tpu.runtime import Runner, compute_metrics
+    from slam_tpu.runtime.config5 import config5_setup
+
+    cfg, slam_map = config5_setup(n_landmarks, capacity=n_landmarks,
+                                  max_obs=96)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("lm",))
+    est = ShardedEkfSlam(cfg, slam_map.n_landmarks, mesh)
+    runner = Runner(cfg, slam_map, "EKF1", estimator=est)
+    result = runner.run(seed=3, n_ticks=n_ticks)
+    m = compute_metrics(result)
+    _log(f"EKF sharded L={n_landmarks:,}: {m.steps_per_second:,.0f} "
+         f"steps/s  ATE {m.ate_rmse:.3f} m  "
+         f"compile {result.compile_seconds:.1f}s")
     return m
 
 
@@ -238,8 +309,8 @@ def bench_ba_10k(n_keyframes=256, n_landmarks=10_000, iters=30):
     return dt
 
 
-def bench_config5(n_particles=1_000_000, capacity=192,
-                  n_supersteps=32):
+def bench_config5(n_particles=1 << 20, capacity=192,
+                  n_supersteps=32, tag="config5 composed"):
     """BASELINE config #5 COMPOSED: landmark-sharded FastSLAM1 on a
     10k-landmark synthetic map -> problem_from_run -> distributed-BA
     refinement, one pipeline (slam_tpu.runtime.config5). Single chip
@@ -255,8 +326,8 @@ def bench_config5(n_particles=1_000_000, capacity=192,
     except Exception as e:
         _log(f"config5 bench failed: {type(e).__name__}: {e}")
         return None
-    _log(f"config5 composed (FS1 p={n_particles:,} on 10k-landmark "
-         f"map -> BA): {r.steps_per_second:,.1f} ticks/s "
+    _log(f"{tag} (FS1 p={n_particles:,} cap={capacity} on "
+         f"10k-landmark map -> BA): {r.steps_per_second:,.1f} ticks/s "
          f"({r.particle_steps_per_second:,.3g} particle-steps/s), "
          f"ATE filter {r.ate_filter:.3f} m -> refined "
          f"{r.ate_refined:.3f} m, {r.n_landmarks_observed} landmarks "
@@ -279,6 +350,7 @@ def warm_up_device():
 
 def main():
     t0 = time.time()
+    _enable_compile_cache()
     warm_up_device()
     m = bench_run("FASTSLAM1", n_particles=100)
 
@@ -290,12 +362,16 @@ def main():
 
     # Primary metric out FIRST (the driver's one-line contract survives
     # even if a secondary bench crashes or the run is cut short).
-    print(json.dumps({
+    primary = {
         "metric": "slam_steps_per_sec_chip_webmap_fastslam1_100p",
         "value": round(m.steps_per_second, 1),
         "unit": "steps/s",
         "vs_baseline": round(m.steps_per_second / baseline, 3),
-    }), flush=True)
+    }
+    # Out FIRST (the driver's one-line contract survives even if a
+    # secondary bench crashes or the run is cut short); re-emitted at
+    # the end with "ate_warn" attached if any accuracy check failed.
+    print(json.dumps(primary), flush=True)
 
     try:
         bench_run("EKF1", None, n_ticks=2000)
@@ -309,10 +385,30 @@ def main():
         bench_map_run("FASTSLAM2", "example_webmap", 100_000,
                       n_ticks=800)
         bench_particle_throughput()
+        bench_ekf_10k()
         bench_ba_10k()
         bench_config5()
+        # Variants (VERDICT r3 #4): capacity 256 at full particle
+        # count (the round-3 OOM, fixed by the copy-free resample
+        # gather + in-place fused observe), and the FULL 10k
+        # per-particle capacity single-chip point.
+        bench_config5(capacity=256, n_supersteps=16,
+                      tag="config5 cap256")
+        # Full 10k per-particle capacity: 16k particles single chip
+        # (3.3 GB of landmark planes; 32k trips HBM OOM through the
+        # unfused update's full-buffer rewrites — the fused kernel
+        # can't run at L=10k, one lane block alone exceeds VMEM).
+        bench_config5(n_particles=16_384, capacity=10_000,
+                      n_supersteps=16, tag="config5 full-10k")
     except Exception as e:
         _log(f"secondary benches failed: {type(e).__name__}: {e}")
+    # Accuracy self-check: any line whose seed-averaged ATE came out
+    # WORSE than the measured reference backend is surfaced in the
+    # primary JSON — a regression can never ship silently again.
+    if ATE_WARNINGS:
+        primary["ate_warn"] = ATE_WARNINGS
+        _log(f"ATE WARNINGS (worse than reference): {ATE_WARNINGS}")
+        print(json.dumps(primary), flush=True)
     _log(f"total bench time {time.time() - t0:.1f}s")
 
 

@@ -82,6 +82,12 @@ class SlamConfig:
     max_landmarks: int = 0  # 0 => sized from the map at setup time
     # Maximum simultaneously visible observations. Padded/masked.
     max_observations: int = 0  # 0 => sized from the map at setup time
+    # Particle pose-estimate variant — the reference's compile-time
+    # ESTIMATE_WITH_{MEAN,MEDIAN,WEIGHTS} #defines
+    # (ParticleSLAMWrapper.cpp:56-119) as a runtime switch:
+    # "mean" | "median" | "weighted". Heading always comes from the
+    # max-weight particle, as in all three reference variants.
+    POSE_ESTIMATE: str = "weighted"
 
     # ------------------------------------------------------------------
     @property

@@ -278,4 +278,4 @@ class FastSlam2:
     def pose(self, state) -> jnp.ndarray:
         """Estimated pose from the particle cloud
         (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119)."""
-        return estimate_position(state)
+        return estimate_position(state, self.config.POSE_ESTIMATE)

@@ -83,15 +83,26 @@ def init_particles(n_particles: int, capacity: int, n_map_landmarks: int,
     )
 
 
-def estimate_position(state: ParticleState) -> jnp.ndarray:
-    """Pose estimate: weighted mean x/y + heading of the max-weight
-    particle. The reference's default uses the unweighted mean
-    (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119); the
-    weighted mean coincides right after resampling and is strictly more
-    consistent between resamples. Heading from the max-weight particle,
-    as in the reference."""
-    w = jax.nn.softmax(state.logw)
-    xy = jnp.sum(w[None, :] * state.xv[:2], axis=-1)
+def estimate_position(state: ParticleState,
+                      mode: str = "weighted") -> jnp.ndarray:
+    """Pose estimate; ``mode`` mirrors the reference's compile-time
+    variants (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119):
+
+    - "mean":     unweighted mean x/y (the reference default),
+    - "median":   per-axis median x/y (ESTIMATE_WITH_MEDIAN),
+    - "weighted": weight-normalized mean x/y (ESTIMATE_WITH_WEIGHTS;
+      our default — it coincides with "mean" right after resampling
+      and is strictly more consistent between resamples).
+
+    Heading always comes from the max-weight particle, as in all three
+    reference variants."""
+    if mode == "mean":
+        xy = jnp.mean(state.xv[:2], axis=-1)
+    elif mode == "median":
+        xy = jnp.median(state.xv[:2], axis=-1)
+    else:
+        w = jax.nn.softmax(state.logw)
+        xy = jnp.sum(w[None, :] * state.xv[:2], axis=-1)
     theta = state.xv[2, jnp.argmax(state.logw)]
     return jnp.concatenate([xy, theta[None]])
 

@@ -55,6 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _compiler_params(interpret: bool):
+    """Raise Mosaic's 16 MB default scoped-VMEM limit: a full window
+    group (~24 MB budget) plus double-buffered grid I/O legitimately
+    exceeds it."""
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+
 
 def _split3_bf16(x):
     """Exact 3-way bfloat16 split of an f32 array: returns (a, b, c) in
@@ -118,7 +130,7 @@ def _multi_gather_kernel(lo_ref, nch_ref, loc_ref, *refs,
                          int8: bool):
     """refs = hbm inputs [n], outputs [n], window scratch, sem.
 
-    All inputs share ONE (3, sum(C_i), chunk) window scratch (each ref
+    All inputs share ONE (4, sum(C_i), chunk) window scratch (each ref
     DMAs into its row offset): the selection then runs as a SINGLE
     [Ctot, chunk] x [chunk, B] matmul per plane split — stacking the
     refs fills MXU row tiles that per-ref matmuls would waste (a 16-row
@@ -127,9 +139,14 @@ def _multi_gather_kernel(lo_ref, nch_ref, loc_ref, *refs,
     Pipelining: grid programs are sequential on a TPU core, so program
     i issues the DMA for block i+1's first chunk before computing its
     own — the next window streams while this one is on the MXU. Chunk 0
-    of block i lands in slot i % 2; the (rare) extra chunks of a block
-    whose index window spans more than one chunk run serially through
-    slot 2.
+    of block i lands in slot i % 2; the extra chunks of a block whose
+    index window spans more than one chunk ping-pong slots 2/3 with
+    the same start-ahead pattern. (A single serial extra slot is NOT
+    safe: the scalar core runs ahead of the vector pipeline, so the
+    next chunk's DMA start can overwrite the window while the previous
+    chunk's vector reads are still in flight — observed as ~1e-5 of
+    gathered elements corrupted at 1M lanes on real hardware, with
+    interpret mode clean.)
     """
     n = len(Cs)
     offs = [sum(Cs[:a]) for a in range(n)]
@@ -186,13 +203,23 @@ def _multi_gather_kernel(lo_ref, nch_ref, loc_ref, *refs,
         dma.wait()
     acc = select(win[slot], onehot(0))
 
-    def extra(c, acc):
-        for dma in copies(lo, c, 2):
+    @pl.when(nch > 1)
+    def _():
+        for dma in copies(lo, 1, 2):
             dma.start()
+
+    def extra(c, acc):
+        s_c = 2 + jax.lax.rem(c - 1, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+            for dma in copies(lo, c + 1, 2 + jax.lax.rem(c, 2)):
+                dma.start()
+
         oh = onehot(c)
-        for dma in copies(lo, c, 2):
+        for dma in copies(lo, c, s_c):
             dma.wait()
-        return combine(acc, select(win[2], oh))
+        return combine(acc, select(win[s_c], oh))
 
     acc = jax.lax.fori_loop(1, nch, extra, acc)
     if int8:
@@ -207,15 +234,74 @@ def _row_pad(x):
     return jnp.pad(x, ((0, C8 - C), (0, 0))) if C8 != C else x
 
 
+# One kernel call's 3-slot VMEM window budget; row sets larger than
+# this are partitioned across calls (see _grouped_call).
+_WINDOW_BUDGET_BYTES = 24 * 1024 * 1024
+
+
+def _max_window_rows(chunk: int) -> int:
+    return max(8, (_WINDOW_BUDGET_BYTES // (4 * chunk * 4)) // 8 * 8)
+
+
+def _grouped_call(arrays, chunk, call):
+    """Dispatch ``call(group_arrays) -> group_outs`` so every kernel
+    call's combined row count fits the window budget: whole arrays are
+    packed greedily; an oversized single array is row-sliced (its
+    pieces are re-concatenated — the 10k-capacity landmark planes at
+    5L = 50k rows are the motivating case)."""
+    arrays = list(arrays)
+    max_rows = _max_window_rows(chunk)
+    pieces = []                                  # (orig index, piece)
+    for i, a in enumerate(arrays):
+        C = a.shape[0]
+        if C <= max_rows:
+            pieces.append((i, a))
+        else:
+            for r0 in range(0, C, max_rows):
+                pieces.append((i, jax.lax.slice_in_dim(
+                    a, r0, min(r0 + max_rows, C), axis=0)))
+    groups, cur, rows = [], [], 0
+    for item in pieces:
+        c8 = -(-item[1].shape[0] // 8) * 8
+        if cur and rows + c8 > max_rows:
+            groups.append(cur)
+            cur, rows = [], 0
+        cur.append(item)
+        rows += c8
+    if cur:
+        groups.append(cur)
+
+    if len(groups) == 1 and len(pieces) == len(arrays):
+        return call(arrays)
+    parts = [[] for _ in arrays]
+    for g in groups:
+        outs = call([p for _, p in g])
+        for (i, _), o in zip(g, outs):
+            parts[i].append(o)
+    return [ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=0)
+            for ps in parts]
+
+
+def sorted_gather_multi(arrays, idx, block: int = 256, chunk: int = 512,
+                        interpret: bool = False, int8: bool = True):
+    """``[a[:, idx] for a in arrays]`` in one kernel pass (or several,
+    for row sets beyond the VMEM window budget) for [C_i, P] f32
+    planes and (ideally sorted) int32 ``idx`` [N]. Bit-exact; fast
+    when idx is non-decreasing. When P is a LANE multiple (and >=
+    chunk) no input copy of any kind is made."""
+    return _grouped_call(
+        arrays, chunk,
+        lambda group: _sorted_gather_impl(group, idx, block=block,
+                                          chunk=chunk,
+                                          interpret=interpret,
+                                          int8=int8))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block", "chunk", "interpret",
                                     "int8"))
-def sorted_gather_multi(arrays, idx, block: int = 256, chunk: int = 512,
+def _sorted_gather_impl(arrays, idx, block: int = 256, chunk: int = 512,
                         interpret: bool = False, int8: bool = True):
-    """``[a[:, idx] for a in arrays]`` in ONE kernel pass for [C_i, P]
-    f32 planes and (ideally sorted) int32 ``idx`` [N]. Bit-exact; fast
-    when idx is non-decreasing. When P is a LANE multiple (and >= chunk)
-    no input copy of any kind is made."""
     arrays = list(arrays)
     P = arrays[0].shape[1]
     assert all(a.shape[1] == P for a in arrays)
@@ -262,9 +348,10 @@ def sorted_gather_multi(arrays, idx, block: int = 256, chunk: int = 512,
         out_specs=plane_out,
         out_shape=[jax.ShapeDtypeStruct((C, N_pad), jnp.float32)
                    for C in Cs],
-        scratch_shapes=[pltpu.VMEM((3, sum(Cs), chunk), jnp.float32),
-                        pltpu.SemaphoreType.DMA((3, len(arrays)))],
+        scratch_shapes=[pltpu.VMEM((4, sum(Cs), chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4, len(arrays)))],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(lo.astype(jnp.int32), nch.astype(jnp.int32), loc, *arrays)
     return [o[:C0, :N] for o, C0 in zip(outs, C0s)]
 
@@ -281,7 +368,7 @@ def sorted_gather(flat, idx, block: int = 256, chunk: int = 512,
 # Bounds-driven variant: gather ancestors straight from offspring bounds
 # ---------------------------------------------------------------------------
 
-def _bounds_gather_kernel(lo_ref, nch_ref, sm1_hbm, s_hbm, *refs,
+def _bounds_gather_kernel(lo_ref, nch_ref, *refs,
                           chunk: int, Cs: tuple, B: int, Plim: int,
                           int8: bool):
     """Like _multi_gather_kernel, but the one-hot comes from the
@@ -297,10 +384,7 @@ def _bounds_gather_kernel(lo_ref, nch_ref, sm1_hbm, s_hbm, *refs,
     hbm = refs[:n]
     outs = refs[n:2 * n]
     win = refs[2 * n]
-    sw_lo = refs[2 * n + 1]
-    sw_hi = refs[2 * n + 2]
-    sem = refs[2 * n + 3]
-    ssem = refs[2 * n + 4]
+    sem = refs[2 * n + 1]
     select = _select_int8 if int8 else _select
 
     blk = pl.program_id(0)
@@ -309,21 +393,19 @@ def _bounds_gather_kernel(lo_ref, nch_ref, sm1_hbm, s_hbm, *refs,
     nch = nch_ref[blk]
     slot = jax.lax.rem(blk, 2)
 
+    # The Sm1/S bound vectors ride INSIDE the data window (the wrapper
+    # prepends them as two bitcast rows), so they share the data DMAs'
+    # lifetime exactly. A first cut gave them their own tiny scratch:
+    # those 2 KB DMAs complete almost instantly, so the cross-block
+    # prefetch overwrote a slot the previous block's vector reads had
+    # not yet drained (scalar runahead) — observed as whole output
+    # columns summing TWO ancestors at 1M lanes, interpret mode clean.
     def copies(b_lo, c, s_idx):
         s = pl.multiple_of(jnp.minimum(b_lo + c * chunk, Plim), LANE)
-        return ([pltpu.make_async_copy(
+        return [pltpu.make_async_copy(
             hbm[a].at[:, pl.ds(s, chunk)],
             win.at[s_idx, pl.ds(offs[a], Cs[a])],
             sem.at[s_idx, a]) for a in range(n)]
-            # S windows stay lane-major ([1, chunk]); the one-hot is
-            # built TRANSPOSED (outputs on sublanes) and contracted
-            # with an NT dot_general — no relayout anywhere.
-            + [pltpu.make_async_copy(sm1_hbm.at[:, pl.ds(s, chunk)],
-                                     sw_lo.at[s_idx],
-                                     ssem.at[s_idx, 0]),
-               pltpu.make_async_copy(s_hbm.at[:, pl.ds(s, chunk)],
-                                     sw_hi.at[s_idx],
-                                     ssem.at[s_idx, 1])])
 
     @pl.when(blk == 0)
     def _():
@@ -348,7 +430,11 @@ def _bounds_gather_kernel(lo_ref, nch_ref, sm1_hbm, s_hbm, *refs,
                              LANE) - lo
         own = ((rows + off >= c * chunk)
                & (rows + off < (c + 1) * chunk))
-        return (sw_lo[s_idx] <= pos) & (pos < sw_hi[s_idx]) & own
+        sm1 = jax.lax.bitcast_convert_type(win[s_idx, 0:1, :],
+                                           jnp.int32)
+        s_hi = jax.lax.bitcast_convert_type(win[s_idx, 8:9, :],
+                                            jnp.int32)
+        return (sm1 <= pos) & (pos < s_hi) & own
 
     cur = copies(lo, 0, slot)
     for dma in cur:
@@ -356,12 +442,22 @@ def _bounds_gather_kernel(lo_ref, nch_ref, sm1_hbm, s_hbm, *refs,
     acc = select(win[slot], onehot_t(0, slot), transposed=True)
     combine = jnp.bitwise_or if int8 else jnp.add
 
-    def extra(c, acc):
-        for dma in copies(lo, c, 2):
+    @pl.when(nch > 1)
+    def _():
+        for dma in copies(lo, 1, 2):
             dma.start()
-        for dma in copies(lo, c, 2):
+
+    def extra(c, acc):
+        s_c = 2 + jax.lax.rem(c - 1, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+            for dma in copies(lo, c + 1, 2 + jax.lax.rem(c, 2)):
+                dma.start()
+
+        for dma in copies(lo, c, s_c):
             dma.wait()
-        return combine(acc, select(win[2], onehot_t(c, 2),
+        return combine(acc, select(win[s_c], onehot_t(c, s_c),
                                    transposed=True))
 
     acc = jax.lax.fori_loop(1, nch, extra, acc)
@@ -371,9 +467,6 @@ def _bounds_gather_kernel(lo_ref, nch_ref, sm1_hbm, s_hbm, *refs,
         outs[a][:, :] = acc[offs[a]:offs[a] + Cs[a], :]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("block", "chunk", "interpret",
-                                    "int8"))
 def bounds_gather_multi(arrays, S, block: int = 256, chunk: int = 512,
                         interpret: bool = False, int8: bool = True):
     """Resample-ancestor gather driven DIRECTLY by offspring bounds
@@ -381,14 +474,26 @@ def bounds_gather_multi(arrays, S, block: int = 256, chunk: int = 512,
     ``[a[:, idx] for a in arrays]`` where ``idx`` is the ancestor
     vector S encodes — without ever materializing ``idx``. Per-block
     ancestor windows come from a searchsorted of the (static) block
-    edges into S; bit-exact vs the materialized-index path."""
+    edges into S; bit-exact vs the materialized-index path. Row sets
+    beyond the VMEM window budget are partitioned across calls."""
+    return _grouped_call(
+        arrays, chunk,
+        lambda group: _bounds_gather_impl(group, S, block=block,
+                                          chunk=chunk,
+                                          interpret=interpret,
+                                          int8=int8))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "chunk", "interpret",
+                                    "int8"))
+def _bounds_gather_impl(arrays, S, block: int = 256, chunk: int = 512,
+                        interpret: bool = False, int8: bool = True):
     arrays = list(arrays)
     P = arrays[0].shape[1]
     N = S.shape[0]                       # number of ancestors == P
     assert all(a.shape[1] == P for a in arrays) and N == P
     C0s = tuple(a.shape[0] for a in arrays)
-    arrays = [_row_pad(a) for a in arrays]
-    Cs = tuple(a.shape[0] for a in arrays)
 
     B = block
     assert P % B == 0, "resample keeps the particle count"
@@ -408,6 +513,15 @@ def bounds_gather_multi(arrays, S, block: int = 256, chunk: int = 512,
         Sm12 = jnp.pad(Sm1, (0, P_pad - P), constant_values=P)
         Plim = P_pad - chunk
 
+    # Prepend the bound vectors (bitcast, one row each) so they ride
+    # the data-window DMA; their "gathered" outputs are discarded.
+    arrays = ([jax.lax.bitcast_convert_type(
+                   Sm12, jnp.float32).reshape(1, -1),
+               jax.lax.bitcast_convert_type(
+                   S2, jnp.float32).reshape(1, -1)] + arrays)
+    arrays = [_row_pad(a) for a in arrays]
+    Cs = tuple(a.shape[0] for a in arrays)
+
     # First/last owning ancestor per output block: rank of the block
     # edges in S (idx_j = #{i : S_i <= j}).
     first = jnp.searchsorted(S, jnp.arange(nb, dtype=jnp.int32) * B,
@@ -426,17 +540,14 @@ def bounds_gather_multi(arrays, S, block: int = 256, chunk: int = 512,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # lo
             pl.BlockSpec(memory_space=pltpu.SMEM),        # nch
-            pl.BlockSpec(memory_space=pl.ANY),         # Sm1
-            pl.BlockSpec(memory_space=pl.ANY),         # S
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(arrays),
         out_specs=plane_out,
         out_shape=[jax.ShapeDtypeStruct((C, P), jnp.float32)
                    for C in Cs],
-        scratch_shapes=[pltpu.VMEM((3, sum(Cs), chunk), jnp.float32),
-                        pltpu.VMEM((3, 1, chunk), jnp.int32),
-                        pltpu.VMEM((3, 1, chunk), jnp.int32),
-                        pltpu.SemaphoreType.DMA((3, len(arrays))),
-                        pltpu.SemaphoreType.DMA((3, 2))],
+        scratch_shapes=[pltpu.VMEM((4, sum(Cs), chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4, len(arrays)))],
         interpret=interpret,
-    )(lo, nch, Sm12.reshape(1, -1), S2.reshape(1, -1), *arrays)
-    return [o[:C0, :] for o, C0 in zip(outs, C0s)]
+        compiler_params=_compiler_params(interpret),
+    )(lo, nch, *arrays)
+    return [o[:C0, :]
+            for o, C0 in zip(outs[2:], C0s)]

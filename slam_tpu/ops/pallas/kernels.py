@@ -403,7 +403,12 @@ def _fused_block(P: int, L: int) -> int | None:
     if P % LANE != 0:
         return None
     per_lane = (2 * (2 * (3 + 5 * L) + 1) + 45 * 14 + 200) * 4
-    cap = max(LANE, _VMEM_BUDGET_BYTES * 2 // per_lane)
+    cap = _VMEM_BUDGET_BYTES * 2 // per_lane
+    if cap < LANE:
+        # One lane block of in+out landmark state alone would blow
+        # VMEM (very large per-particle capacity, e.g. the full-10k
+        # map) — callers fall back to the unfused HBM path.
+        return None
     best = None
     for d in range(1, P // LANE + 1):
         if (P // LANE) % d == 0 and d * LANE <= cap:
@@ -411,9 +416,10 @@ def _fused_block(P: int, L: int) -> int | None:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "psum_axis"))
 def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   psum_axis: str | None = None):
     """Fused in-place FS1 observation update on a ParticleState:
     weight delta + matched-feature EKF + new-feature planes in ONE
     kernel pass over the landmark state (aliased — no full-buffer
@@ -468,7 +474,13 @@ def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(state.xv, lm2, lmP2, zm, slt, r_row)
-    return state._replace(logw=state.logw + dlogw[0],
+    d = dlogw[0]
+    if psum_axis is not None:
+        # Landmark-sharded caller: each shard's kernel saw only its
+        # owned slots; the per-particle log-likelihood is the sum of
+        # the owners' contributions.
+        d = jax.lax.psum(d, psum_axis)
+    return state._replace(logw=state.logw + d,
                           lm=lm_o.reshape(2, L, P),
                           lm_P=lmP_o.reshape(3, L, P))
 

@@ -114,7 +114,15 @@ def offspring_bounds(key, csum, n_out: int):
     k = jnp.clip(t.astype(jnp.int32), 0, n_out - 1)
     Uk = _uniform_at(key, k).astype(csum.dtype)
     S = k + (Uk < t - k.astype(csum.dtype)).astype(jnp.int32)
-    S = jnp.minimum(S, n_out).at[-1].set(n_out)
+    # The blocked cumsum's row-prefix chain rounds independently of
+    # the within-row chain, so csum can DIP by 1 ulp at row
+    # boundaries (measured: 59 one-ulp dips over 1M entries, all at
+    # positions == blocklen-1) — which would make S locally
+    # decreasing and two ancestors claim the same output slot in the
+    # interval-partition consumers (bounds_gather). A running max
+    # restores the partition; the affected boundary draws shift by at
+    # most one slot.
+    S = _cummax_2d(jnp.minimum(S, n_out)).at[-1].set(n_out)
     return S
 
 

@@ -88,6 +88,36 @@ def _fs1_update_local(state: ParticleState, key, z, ids, zmask, R,
     slot = jnp.where(matched, assoc, 0)
     slot_l, own = _local_slots(state, slot, matched)
 
+    from slam_tpu.ops.pallas.kernels import _fused_block, fs1_update_tpu
+    if (jax.default_backend() == "tpu"
+            and _fused_block(state.n_particles, state.capacity)
+            is not None):
+        # Fused single-pass update (slam_tpu.ops.pallas kernel 4) with
+        # this shard's ownership masks; only the per-particle weight
+        # delta crosses shards (psum inside fs1_update_tpu). The
+        # unfused path below materializes ~20 [K, P_local] planes —
+        # at the config #5 shapes (K = 96, 1M particles) that is
+        # >10 GB of transients and the difference between fitting one
+        # chip and OOM.
+        L_local = state.capacity
+        lo = lax.axis_index(L_AXIS) * L_local
+        S_l = lax.psum(1, L_AXIS)
+        offset = (jnp.cumsum(is_new.astype(jnp.int32))
+                  - is_new.astype(jnp.int32))
+        slot_new = state.n + offset
+        ok = is_new & (slot_new < L_local * S_l)
+        ok_here = ok & (slot_new >= lo) & (slot_new < lo + L_local)
+        slot_new_l = jnp.where(ok_here, slot_new - lo, 0)
+        state = fs1_update_tpu(state, z.astype(state.xv.dtype), slot_l,
+                               own, slot_new_l, ok_here, R,
+                               psum_axis=L_AXIS)
+        table = state.da_table.at[
+            jnp.where(ok, ids, state.da_table.shape[0])].set(
+            slot_new, mode="drop")
+        state = state._replace(
+            n=state.n + jnp.sum(ok, dtype=jnp.int32), da_table=table)
+        return _resample_local(state, key, n_min, do_resample, ring_p)
+
     gathered = rbpf.gather_landmarks(state, slot_l)
     J, v0, v1 = rbpf.observe_planes(state, z.astype(state.xv.dtype),
                                     slot_l, R, gathered)

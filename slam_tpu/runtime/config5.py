@@ -93,7 +93,6 @@ def run_config5(n_particles: int = 1_000_000,
     from slam_tpu.parallel.landmarks import (LandmarkShardedFastSlam1,
                                              make_mesh_2d)
     from slam_tpu.posegraph import problem_from_run
-    from slam_tpu.posegraph.ba import solve_ba
     from slam_tpu.posegraph.distributed import solve_ba_sharded
     from jax.sharding import Mesh
 
@@ -112,16 +111,16 @@ def run_config5(n_particles: int = 1_000_000,
 
     prob = problem_from_run(result, cfg, slam_map)
     t0 = time.time()
-    if len(devs) > 1:
-        ba_mesh = Mesh(np.asarray(devs), ("l",))
-        poses_ref, _, info = solve_ba_sharded(prob, ba_mesh,
-                                              iters=ba_iters,
-                                              return_info=True)
-        n_ba = info["n_iters"]
-    else:
-        poses_ref, _, info = solve_ba(prob, iters=ba_iters,
-                                      return_info=True)
-        n_ba = int(info["n_steps"])
+    # Always the SHARDED solver — on one device the mesh is (1,), so
+    # the measured BA stage is the distributed code path at every
+    # device count (ADVICE r3: the single-device run used to fall back
+    # to the replicated solve_ba silently). ba_iters reports ACCEPTED
+    # LM iterations in both cases.
+    ba_mesh = Mesh(np.asarray(devs), ("l",))
+    poses_ref, _, info = solve_ba_sharded(prob, ba_mesh,
+                                          iters=ba_iters,
+                                          return_info=True)
+    n_ba = int(info["n_iters"])
     jax.block_until_ready(poses_ref)
     ba_seconds = time.time() - t0
 

@@ -317,3 +317,37 @@ def test_gather_particles_keeps_shared_fields():
     np.testing.assert_allclose(np.asarray(s1.xv[:, 0]),
                                np.asarray(state.xv[:, 3]))
     assert s1.n is state.n and s1.da_table is state.da_table
+
+
+def test_estimate_position_variants():
+    """The three reference pose-estimate variants
+    (ParticleSLAMWrapper.cpp:56-119) behind the POSE_ESTIMATE switch;
+    heading is the max-weight particle's in every mode."""
+    rng = np.random.default_rng(4)
+    P = 101
+    state = init_particles(P, capacity=2, n_map_landmarks=2)
+    xv = rng.normal(size=(3, P)).astype(np.float32)
+    logw = rng.normal(size=P).astype(np.float32)
+    state = state._replace(xv=jnp.asarray(xv), logw=jnp.asarray(logw))
+
+    mean = np.asarray(estimate_position(state, "mean"))
+    med = np.asarray(estimate_position(state, "median"))
+    wgt = np.asarray(estimate_position(state, "weighted"))
+
+    np.testing.assert_allclose(mean[:2], xv[:2].mean(axis=1), rtol=1e-5)
+    np.testing.assert_allclose(med[:2], np.median(xv[:2], axis=1),
+                               rtol=1e-5)
+    w = np.exp(logw - logw.max())
+    w /= w.sum()
+    np.testing.assert_allclose(wgt[:2], (xv[:2] * w).sum(axis=1),
+                               rtol=1e-4)
+    th = xv[2, np.argmax(logw)]
+    for est in (mean, med, wgt):
+        np.testing.assert_allclose(est[2], th, rtol=1e-6)
+
+    # The switch reaches the estimator through the config.
+    from slam_tpu.config import SlamConfig
+    from slam_tpu.models import FastSlam1
+    fs = FastSlam1(SlamConfig(POSE_ESTIMATE="median"), 2)
+    np.testing.assert_allclose(np.asarray(fs.pose(state)), med,
+                               rtol=1e-6)

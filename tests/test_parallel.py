@@ -145,3 +145,75 @@ def test_sharded_fastslam_e2e(mesh, cls, bound):
     assert np.isfinite(m.ate_rmse)
     assert m.ate_rmse < bound, f"{cls.__name__}: ATE {m.ate_rmse:.3f}"
     assert int(result.final_state.n) > 0
+
+
+def test_ring_resample_one_device_local_arm():
+    """1-device mesh (static_ring_size=1): run_local's searchsorted arm
+    must equal the single-chip stratified resampler driven by the same
+    dither stream (ADVICE r3: this branch carries the single-chip
+    config #5 headline and had zero coverage)."""
+    n = 64
+    state = _toy_state(n, seed=9)
+    logw = np.asarray(np.random.default_rng(5)
+                      .normal(size=n).astype(np.float32)) * 3
+    state = state._replace(logw=jnp.asarray(logw))
+    mesh1 = make_mesh(1)
+    specs = particle_state_specs()
+    key = jax.random.PRNGKey(11)
+
+    def run(state):
+        return ring_resample(state, state.logw, key,
+                             jnp.float32(n), True, "p",
+                             static_ring_size=1)
+
+    f = jax.jit(shard_map(run, mesh=mesh1, in_specs=(specs,),
+                          out_specs=(specs, P("p"), P()),
+                          check_vma=False))
+    new_state, new_logw, did = f(state)
+    assert bool(did)
+
+    # Reference: the same u grid (shard 0's dither) + searchsorted.
+    from slam_tpu.ops.resampling import normalize_log_weights
+    wn = np.exp(np.asarray(normalize_log_weights(state.logw)))
+    dither = np.asarray(jax.random.uniform(
+        jax.random.fold_in(key, 0), (n,), dtype=jnp.float32))
+    u = (np.arange(n) + dither) / n
+    idx = np.clip(np.searchsorted(np.cumsum(wn), u, side="left"),
+                  0, n - 1)
+    np.testing.assert_allclose(np.asarray(new_state.xv),
+                               np.asarray(state.xv)[:, idx], atol=0)
+    np.testing.assert_allclose(np.asarray(new_logw),
+                               np.full(n, -np.log(n)), rtol=1e-5)
+
+
+def test_local_bounds_resample_matches_offspring_bounds():
+    """The TPU arm of run_local (bounds-driven multi-ref kernel,
+    interpret mode here) == a plain gather by the ancestors its
+    offspring bounds encode."""
+    from slam_tpu.ops.resampling import (
+        _cumsum_2d,
+        ancestors_from_bounds,
+        normalize_log_weights,
+        offspring_bounds,
+    )
+    from slam_tpu.parallel.resampling import _local_bounds_resample
+
+    n = 512
+    state = _toy_state(n, seed=2)
+    logw = jnp.asarray(np.random.default_rng(8)
+                       .normal(size=n).astype(np.float32) * 2)
+    state = state._replace(logw=logw)
+    wn = jnp.exp(normalize_log_weights(logw))
+    key = jax.random.PRNGKey(3)
+
+    got = _local_bounds_resample(
+        state, wn, key, jnp.int32(0), n,
+        ("logw", "xv", "Pv", "lm", "lm_P"), interpret=True)
+
+    S_b = offspring_bounds(jax.random.fold_in(key, 0),
+                           _cumsum_2d(wn), n)
+    idx = np.asarray(jnp.clip(ancestors_from_bounds(S_b, n), 0, n - 1))
+    for f in ("logw", "xv", "lm", "lm_P"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)),
+            np.asarray(getattr(state, f))[..., idx], err_msg=f)
