@@ -53,8 +53,15 @@ def run_config(nproc: int, local_devices: int, per_device: int,
         # pool otherwise lets a single process consume every core,
         # which makes the 1-process baseline an unfair (whole-machine)
         # denominator for the weak-scaling ratio.
-        pin = ["taskset", "-c", str(pid % ncores)] if os.path.exists(
-            "/usr/bin/taskset") else []
+        import shutil
+        taskset = shutil.which("taskset")
+        if taskset:
+            pin = [taskset, "-c", str(pid % ncores)]
+        else:
+            pin = []
+            print("WARNING: taskset not found — core pinning disabled;"
+                  " the 1-process baseline gets the whole machine and"
+                  " efficiency ratios will be skewed", file=sys.stderr)
         cmd = pin + [sys.executable, WORKER,
                "--coordinator", f"localhost:{port}",
                "--num-processes", str(nproc),
@@ -81,6 +88,9 @@ def run_config(nproc: int, local_devices: int, per_device: int,
                 p.kill()
                 p.wait()
     m = re.search(r"([\d,]+(?:\.\d+)?) steps/s", outs[0])
+    if m is None:
+        raise RuntimeError("worker produced no 'steps/s' line; stderr:\n"
+                           + outs[0][-2000:])
     steps_per_sec = float(m.group(1).replace(",", ""))
     return {"processes": nproc, "devices": n_global,
             "particles": particles,
@@ -102,12 +112,24 @@ def main():
     for nproc in args.procs:
         r = run_config(nproc, args.local_devices, args.per_device,
                        args.supersteps, args.seed)
+        # Efficiency is anchored to the SINGLE-process row when one
+        # was measured; otherwise the first row is the (labeled)
+        # baseline — "--procs 2 4" would previously report the
+        # 2-process row as efficiency 1.0 with no indication.
         if rows:
-            base = rows[0]["particle_steps_per_sec"] / rows[0]["devices"]
+            anchor = next((x for x in rows if x["processes"] == 1),
+                          rows[0])
+            base = (anchor["particle_steps_per_sec"]
+                    / anchor["devices"])
             r["weak_scaling_efficiency"] = round(
                 r["particle_steps_per_sec"] / (r["devices"] * base), 3)
+            r["efficiency_baseline_procs"] = anchor["processes"]
         else:
             r["weak_scaling_efficiency"] = 1.0
+            r["efficiency_baseline_procs"] = nproc
+            if nproc != 1:
+                print(f"NOTE: no 1-process row; efficiency anchored to "
+                      f"the {nproc}-process row", file=sys.stderr)
         rows.append(r)
         print(f"procs={r['processes']} devices={r['devices']} "
               f"particles={r['particles']:,}: "

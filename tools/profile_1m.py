@@ -18,20 +18,34 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
+def _fence(out):
+    """block_until_ready through the axon tunnel can return before
+    execution finishes (measured: a 7.6 s matmul chain "blocked" in
+    0.09 ms); fetching one element is the reliable completion fence."""
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def timeit(fn, *args, n=10, warmup=2):
+    """NOTE: per-call numbers include a host round trip (~5-20 ms
+    through the tunnel) — ONLY relative comparisons are meaningful
+    here. The ground truth for in-program cost is the xprof trace
+    (artifacts/trace_1m_r04/, --trace below); BENCH_NOTES carries the
+    per-stage table extracted from it."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
 def main():
     P = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
-        else 1_000_000
+        else 1 << 20
     trace_dir = None
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
