@@ -207,6 +207,30 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     # Likelihood weighting + map update at the sampled pose
     # (likelihoodGivenXv + featureUpdate) — one fused kernel on TPU.
     if use_pallas:
+        from slam_tpu.ops.pallas.kernels import (
+            _fused_block,
+            fs1_update_tpu,
+        )
+        if _fused_block(state.n_particles, state.capacity) is not None:
+            # Single-pass aliased kernel: likelihood + matched feature
+            # EKF + new-feature planes, exactly as in fs1_update (the
+            # math at the sampled pose is identical).
+            L = state.capacity
+            offset = (jnp.cumsum(is_new.astype(jnp.int32))
+                      - is_new.astype(jnp.int32))
+            slot_new = state.n + offset
+            ok = is_new & (slot_new < L)
+            state = fs1_update_tpu(state, z, slot, matched, slot_new,
+                                   ok, R)
+            table = state.da_table.at[
+                jnp.where(ok, ids, state.da_table.shape[0])].set(
+                slot_new, mode="drop")
+            state = state._replace(
+                n=state.n + jnp.sum(ok, dtype=jnp.int32),
+                da_table=table)
+            if resample_fn is not None:
+                return resample_fn(state, key, n_min)
+            return rbpf.resample(state, key, n_min, do_resample)
         from slam_tpu.ops.pallas import fs1_observe_tpu
         state = fs1_observe_tpu(state, z, slot, matched, R)
     else:

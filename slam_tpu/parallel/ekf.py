@@ -55,6 +55,16 @@ class ShardedEKFState(NamedTuple):
     ``x``: [3 + 2L] joint mean (replicated). ``P00``: [3, 3]. ``P0m``:
     [3, 2L]. ``Pmm``: [2L, 2L], rows sharded over the `l` mesh axis.
     ``n``: live landmark count. ``da_table``: [n_map] id -> slot.
+
+    ``hk`` [2L, D] / ``hk_n``: DEFERRED heading rank-1 terms. The
+    per-tick scalar heading observe (ekfslam.cpp:86-95) subtracts
+    (1/s) c c' from the full joint covariance; its Pmm block only
+    feeds the NEXT observe (predict reads P00/P0m alone), so the
+    scaled columns u_t = c_m / sqrt(s_t) accumulate here and fold into
+    Pmm once per observe: true Pmm = stored Pmm - hk hk'. Exact
+    algebra; it converts 8 O(L^2) full-covariance passes per superstep
+    into 8 O(L) cross-row updates + ONE fold (trace: the eager form
+    was 39 ms of the 82 ms 10k-landmark superstep).
     """
     x: jnp.ndarray
     P00: jnp.ndarray
@@ -62,6 +72,8 @@ class ShardedEKFState(NamedTuple):
     Pmm: jnp.ndarray
     n: jnp.ndarray
     da_table: jnp.ndarray
+    hk: jnp.ndarray
+    hk_n: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -73,7 +85,8 @@ class ShardedEKFState(NamedTuple):
 
 
 def sharded_ekf_init(capacity: int, n_map_landmarks: int,
-                     dtype=jnp.float32) -> ShardedEKFState:
+                     dtype=jnp.float32,
+                     n_defer: int = 16) -> ShardedEKFState:
     L2 = 2 * capacity
     return ShardedEKFState(
         x=jnp.zeros(3 + L2, dtype=dtype),
@@ -82,12 +95,15 @@ def sharded_ekf_init(capacity: int, n_map_landmarks: int,
         Pmm=jnp.zeros((L2, L2), dtype=dtype),
         n=jnp.int32(0),
         da_table=jnp.full((n_map_landmarks,), -1, dtype=jnp.int32),
+        hk=jnp.zeros((L2, n_defer), dtype=dtype),
+        hk_n=jnp.int32(0),
     )
 
 
 def state_specs(axis: str = LM_AXIS) -> ShardedEKFState:
     return ShardedEKFState(
-        x=P(), P00=P(), P0m=P(), Pmm=P(axis, None), n=P(), da_table=P())
+        x=P(), P00=P(), P0m=P(), Pmm=P(axis, None), n=P(), da_table=P(),
+        hk=P(), hk_n=P())
 
 
 # ---------------------------------------------------------------------------
@@ -139,21 +155,34 @@ def _predict_local(state: ShardedEKFState, v, g, Q, wheelbase, dt,
     x = x.at[2].set(wrap_angle(x[2]))
 
     # P' = P - W c' - c W' + (s) W W', with c = P[:, 2] (Joseph form
-    # collapsed; exact for scalar observations).
+    # collapsed; exact for scalar observations). The Pmm block term
+    # collapses to -(1/s) c_m c_m' and is DEFERRED (see
+    # ShardedEKFState.hk); nothing before the next observe reads Pmm.
     cp = state.P00[:, 2]
     cm = state.P0m[2, :]
     P00 = state.P00 - jnp.outer(Wp, cp) - jnp.outer(cp, Wp) \
         + s_inn * jnp.outer(Wp, Wp)
     P0m = state.P0m - jnp.outer(Wp, cm) - jnp.outer(cp, Wm) \
         + s_inn * jnp.outer(Wp, Wm)
-    # Local Pmm rows: rows are a contiguous slab starting at row_lo.
-    rows = state.Pmm.shape[0]
-    row_lo = lax.axis_index(axis) * rows
-    Wm_loc = lax.dynamic_slice(Wm, (row_lo,), (rows,))
-    cm_loc = lax.dynamic_slice(cm, (row_lo,), (rows,))
-    Pmm = state.Pmm - jnp.outer(Wm_loc, cm) - jnp.outer(cm_loc, Wm) \
-        + s_inn * jnp.outer(Wm_loc, Wm)
-    return state._replace(x=x, P00=P00, P0m=P0m, Pmm=Pmm)
+    u = cm / jnp.sqrt(s_inn)
+    D = state.hk.shape[1]
+
+    def defer(st):
+        return st._replace(
+            hk=lax.dynamic_update_slice(st.hk, u[:, None],
+                                        (0, st.hk_n)),
+            hk_n=st.hk_n + 1)
+
+    def fold_now(st):
+        # Accumulator full (an estimator driven with more predicts
+        # per observe than n_defer): apply this tick's term eagerly.
+        rows = st.Pmm.shape[0]
+        row_lo = lax.axis_index(axis) * rows
+        u_loc = lax.dynamic_slice(u, (row_lo,), (rows,))
+        return st._replace(Pmm=st.Pmm - jnp.outer(u_loc, u))
+
+    state = state._replace(x=x, P00=P00, P0m=P0m)
+    return lax.cond(state.hk_n < D, defer, fold_now, state)
 
 
 def _diag_blocks_local(Pmm_local, row_lo):
@@ -193,9 +222,20 @@ def _update_local(state: ShardedEKFState, z, ids, zmask, R, Re,
     rows = state.Pmm.shape[0]
     row_lo = lax.axis_index(axis) * rows
 
+    # Deferred heading terms: true Pmm = stored Pmm - hk hk'. Rather
+    # than materializing the fold (a full [2L, 2L] pass), every cheap
+    # read below gets the low-rank correction and the subtraction
+    # rides the batch update's single full-covariance pass.
+    hk = state.hk
+    hk_loc = lax.dynamic_slice(hk, (row_lo, 0), (rows, hk.shape[1]))
+
     lm = state.x[3:].reshape(L, 2)
     valid = jnp.arange(L) < state.n
     Pjj = _gather_diag_blocks(state, axis)                 # [L, 2, 2]
+    # Correct the 2x2 diagonal blocks: block l rows are hk[2l : 2l+2].
+    hk_blk = hk.reshape(L, 2, hk.shape[1])
+    Pjj = Pjj - jnp.einsum("lad,lbd->lab", hk_blk, hk_blk,
+                           precision=_HIGHEST)
 
     # ---- association ---------------------------------------------------
     if association_known:
@@ -257,9 +297,26 @@ def _update_local(state: ShardedEKFState, z, ids, zmask, R, Re,
     mm = lambda a, b: jnp.matmul(a, b, precision=_HIGHEST)
     # PHt pose rows [3, 2K] (replicated) and landmark rows:
     #   PHt_m = Pm0 Hp' + Pmm Hm'  — local slab rows.
+    # Pmm Hm' only touches the 2K observed block-columns, but a dense
+    # [2L, 2L] x [2L, 2K] matmul at HIGHEST costs ~5 ms at L = 10k.
+    # By symmetry the needed columns are the observed ROWS (contiguous
+    # gather); each shard contributes its owned subset and a psum
+    # assembles the [2K, 2L] row block.
     PHt_p = mm(state.P00, Hp.T) + mm(state.P0m, Hm.T)      # [3, 2K]
     P0m_loc = lax.dynamic_slice(state.P0m, (0, row_lo), (3, rows))
-    PHt_m_loc = mm(P0m_loc.T, Hp.T) + mm(state.Pmm, Hm.T)  # [rows, 2K]
+    gcol = (2 * slot[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+    lrow = gcol - row_lo
+    own_r = (lrow >= 0) & (lrow < rows)
+    obs_rows = state.Pmm[jnp.where(own_r, lrow, 0), :] \
+        * own_r[:, None].astype(dtype)                     # [2K, 2L]
+    obs_rows = lax.psum(obs_rows, axis)
+    obs_rows = obs_rows - jnp.matmul(hk[gcol, :], hk.T,
+                                     precision=_HIGHEST)
+    HmP = jnp.einsum("kab,kbn->kan", Hf,
+                     obs_rows.reshape(K, 2, N2),
+                     precision=_HIGHEST).reshape(2 * K, N2)
+    PHt_m_loc = mm(P0m_loc.T, Hp.T) + lax.dynamic_slice(
+        HmP, (0, row_lo), (2 * K, rows)).T                 # [rows, 2K]
 
     # S = H P H' + R (psum the sharded landmark contraction).
     Hm_loc = lax.dynamic_slice(Hm, (0, row_lo), (2 * K, rows))
@@ -284,9 +341,13 @@ def _update_local(state: ShardedEKFState, z, ids, zmask, R, Re,
 
     P00 = state.P00 - mm(W1_p, W1_p.T)
     P0m = state.P0m - mm(W1_p, W1_m.T)
-    Pmm = state.Pmm - mm(W1_m_loc, W1_m.T)
+    # ONE full-covariance pass: batch update + the deferred heading
+    # fold fused (XLA emits a single subtract fusion over Pmm).
+    Pmm = state.Pmm - mm(W1_m_loc, W1_m.T) \
+        - jnp.matmul(hk_loc, hk.T, precision=_HIGHEST)
     P00 = 0.5 * (P00 + P00.T)
-    state = state._replace(x=x, P00=P00, P0m=P0m, Pmm=Pmm)
+    state = state._replace(x=x, P00=P00, P0m=P0m, Pmm=Pmm,
+                           hk=jnp.zeros_like(hk), hk_n=jnp.int32(0))
 
     # ---- augment -------------------------------------------------------
     state = _augment_local(state, z, ids, is_new, Rem, row_lo, rows)
@@ -323,43 +384,54 @@ def _augment_local(state: ShardedEKFState, z, ids, is_new, Re,
         jnp.stack([jnp.zeros_like(r), jnp.ones_like(r), r * cg], -1),
     ], -2)                                                 # [K, 2, 3]
 
-    x = state.x.at[3 + flat_cols].set(xf.reshape(-1), mode="drop")
+    def do_add(state):
+        x = state.x.at[3 + flat_cols].set(xf.reshape(-1), mode="drop")
 
-    # Cross rows vs existing state: B_i = Gv_i [P00 | P0m]   [K, 2, 3+2L]
-    Bp = jnp.einsum("kab,bc->kac", Gv, state.P00, precision=_HIGHEST)
-    Bm = jnp.einsum("kab,bn->kan", Gv, state.P0m, precision=_HIGHEST)
+        # Cross rows vs existing state: B_i = Gv_i [P00 | P0m].
+        Bp = jnp.einsum("kab,bc->kac", Gv, state.P00,
+                        precision=_HIGHEST)
+        Bm = jnp.einsum("kab,bn->kan", Gv, state.P0m,
+                        precision=_HIGHEST)
 
-    # P0m gets the new columns: P0m[:, 2s_i + b] = (Gv_i P00)[b, :]'.
-    P0m = state.P0m.at[:, flat_cols].set(Bp.reshape(2 * K, 3).T,
-                                         mode="drop")
+        # P0m gets the new columns: P0m[:, 2s_i + b] = (Gv_i P00)[b].
+        P0m = state.P0m.at[:, flat_cols].set(Bp.reshape(2 * K, 3).T,
+                                             mode="drop")
 
-    # Pmm cross rows and columns. Rows: only slots owned by this shard.
-    local_r = flat_cols - row_lo                           # [2K]
-    ok_row = (local_r >= 0) & (local_r < rows)
-    row_idx = jnp.where(ok_row, local_r, rows)             # OOB drop
-    Pmm = state.Pmm.at[row_idx, :].set(Bm.reshape(2 * K, N2),
-                                       mode="drop")
-    # Columns on every shard's slab: Pmm[:, cols] = (Gv_i P0m_loc)' —
-    # i.e. the transpose of Bm restricted to local rows.
-    Bm_locT = Bm.reshape(2 * K, N2).T                      # [2L, 2K]
-    Bm_loc = lax.dynamic_slice(Bm_locT, (row_lo, 0), (rows, 2 * K))
-    Pmm = Pmm.at[:, flat_cols].set(Bm_loc, mode="drop")
+        # Pmm cross rows and columns. Rows: slots owned by this shard.
+        local_r = flat_cols - row_lo                       # [2K]
+        ok_row = (local_r >= 0) & (local_r < rows)
+        row_idx = jnp.where(ok_row, local_r, rows)         # OOB drop
+        Pmm = state.Pmm.at[row_idx, :].set(Bm.reshape(2 * K, N2),
+                                           mode="drop")
+        # Columns on every shard's slab: the transpose of Bm
+        # restricted to local rows.
+        Bm_locT = Bm.reshape(2 * K, N2).T                  # [2L, 2K]
+        Bm_loc = lax.dynamic_slice(Bm_locT, (row_lo, 0),
+                                   (rows, 2 * K))
+        Pmm = Pmm.at[:, flat_cols].set(Bm_loc, mode="drop")
 
-    # New-new blocks: Gv_i P00 Gv_j' + diag(Gz R Gz').
-    NN = jnp.einsum("kab,bc,ldc->kald", Gv, state.P00, Gv,
-                    precision=_HIGHEST)
-    diag = jnp.einsum("kab,bc,kdc->kad", Gz, jnp.asarray(Re, dtype), Gz,
-                      precision=_HIGHEST)
-    NN = NN.at[jnp.arange(K), :, jnp.arange(K), :].add(diag)
-    NNf = NN.reshape(2 * K, 2 * K)
-    Pmm = Pmm.at[row_idx[:, None], flat_cols[None, :]].set(NNf,
-                                                           mode="drop")
+        # New-new blocks: Gv_i P00 Gv_j' + diag(Gz R Gz').
+        NN = jnp.einsum("kab,bc,ldc->kald", Gv, state.P00, Gv,
+                        precision=_HIGHEST)
+        diag = jnp.einsum("kab,bc,kdc->kad", Gz,
+                          jnp.asarray(Re, dtype), Gz,
+                          precision=_HIGHEST)
+        NN = NN.at[jnp.arange(K), :, jnp.arange(K), :].add(diag)
+        Pmm = Pmm.at[row_idx[:, None], flat_cols[None, :]].set(
+            NN.reshape(2 * K, 2 * K), mode="drop")
+        return state._replace(x=x, P0m=P0m, Pmm=Pmm)
 
+    # The Pmm column scatter above forces XLA into transpose-relayout
+    # copies (~5 full-covariance passes, ~20 ms at L = 10k) — run the
+    # plane writes only when a new landmark actually appeared (`ok` is
+    # replicated, so the branch is taken collectively); the count and
+    # id table always advance.
+    state = jax.lax.cond(jnp.any(ok), do_add, lambda s: s, state)
     n = state.n + jnp.sum(ok, dtype=jnp.int32)
     table = state.da_table.at[
         jnp.where(ok, ids, state.da_table.shape[0])].set(slot,
                                                          mode="drop")
-    return state._replace(x=x, P0m=P0m, Pmm=Pmm, n=n, da_table=table)
+    return state._replace(n=n, da_table=table)
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +505,9 @@ class ShardedEkfSlam:
 
 
 def dense_covariance(state: ShardedEKFState) -> jnp.ndarray:
-    """Reassemble the dense [3+2L, 3+2L] joint covariance (tests only)."""
+    """Reassemble the dense [3+2L, 3+2L] joint covariance (tests only),
+    folding any deferred heading terms."""
+    Pmm = state.Pmm - state.hk @ state.hk.T
     top = jnp.concatenate([state.P00, state.P0m], axis=1)
-    bot = jnp.concatenate([state.P0m.T, state.Pmm], axis=1)
+    bot = jnp.concatenate([state.P0m.T, Pmm], axis=1)
     return jnp.concatenate([top, bot], axis=0)
