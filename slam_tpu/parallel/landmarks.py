@@ -50,6 +50,12 @@ P_AXIS = "p"
 L_AXIS = "l"
 
 
+# Test hook: force the fused-kernel branch of _fs1_update_local in
+# Pallas interpret mode on CPU (the branch is TPU-only in production;
+# tests/test_landmark_sharding.py uses this to equality-check the
+# ownership-mask + psum wiring against the unfused path).
+_FORCE_FUSED_INTERPRET = False
+
 def make_mesh_2d(n_p: int, n_l: int, devices=None) -> Mesh:
     """(p, l) mesh: particle axis major so ring resampling rides
     neighboring devices."""
@@ -89,7 +95,8 @@ def _fs1_update_local(state: ParticleState, key, z, ids, zmask, R,
     slot_l, own = _local_slots(state, slot, matched)
 
     from slam_tpu.ops.pallas.kernels import _fused_block, fs1_update_tpu
-    if (jax.default_backend() == "tpu"
+    interpret = _FORCE_FUSED_INTERPRET
+    if ((jax.default_backend() == "tpu" or interpret)
             and _fused_block(state.n_particles, state.capacity)
             is not None):
         # Fused single-pass update (slam_tpu.ops.pallas kernel 4) with
@@ -110,7 +117,7 @@ def _fs1_update_local(state: ParticleState, key, z, ids, zmask, R,
         slot_new_l = jnp.where(ok_here, slot_new - lo, 0)
         state = fs1_update_tpu(state, z.astype(state.xv.dtype), slot_l,
                                own, slot_new_l, ok_here, R,
-                               psum_axis=L_AXIS)
+                               psum_axis=L_AXIS, interpret=interpret)
         table = state.da_table.at[
             jnp.where(ok, ids, state.da_table.shape[0])].set(
             slot_new, mode="drop")
