@@ -231,7 +231,7 @@ def resample(state: ParticleState, key, n_min, do_resample) -> ParticleState:
     uniform = jnp.full_like(logw_n, -jnp.log(jnp.float32(n)))
     new_logw = jnp.where(need, uniform, logw_n)
 
-    if jax.default_backend() == "tpu" and n % 256 == 0:
+    if jax.default_backend() == "tpu" and n % 512 == 0:
         from slam_tpu.models.particles import gather_particles_bounds
 
         def do(s):

@@ -467,7 +467,7 @@ def _bounds_gather_kernel(lo_ref, nch_ref, *refs,
         outs[a][:, :] = acc[offs[a]:offs[a] + Cs[a], :]
 
 
-def bounds_gather_multi(arrays, S, block: int = 256, chunk: int = 512,
+def bounds_gather_multi(arrays, S, block: int = 512, chunk: int = 768,
                         interpret: bool = False, int8: bool = True):
     """Resample-ancestor gather driven DIRECTLY by offspring bounds
     ``S`` [P] (non-decreasing, S[-1] == P): returns
@@ -487,7 +487,7 @@ def bounds_gather_multi(arrays, S, block: int = 256, chunk: int = 512,
 @functools.partial(jax.jit,
                    static_argnames=("block", "chunk", "interpret",
                                     "int8"))
-def _bounds_gather_impl(arrays, S, block: int = 256, chunk: int = 512,
+def _bounds_gather_impl(arrays, S, block: int = 512, chunk: int = 768,
                         interpret: bool = False, int8: bool = True):
     arrays = list(arrays)
     P = arrays[0].shape[1]

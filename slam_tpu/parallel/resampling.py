@@ -97,7 +97,7 @@ def ring_resample(state: Any, logw, key, n_min, do_resample, axis: str,
         # searchsorted (its dither is the counter-based
         # offspring_bounds stream rather than the ring's materialized
         # ``u`` dither; both are stratified draws from the same key).
-        if jax.default_backend() == "tpu" and Pl % 256 == 0:
+        if jax.default_backend() == "tpu" and Pl % 512 == 0:
             return _local_bounds_resample(state, wn, key, me, Pl,
                                           particle_fields)
         idx = jnp.clip(jnp.searchsorted(csum_rel, u, side="left"),
