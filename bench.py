@@ -124,7 +124,8 @@ def bench_run(method: str, n_particles, n_ticks: int = 4000,
     return dataclasses.replace(m0, ate_rmse=ate)
 
 
-def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16):
+def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16,
+                              method="FASTSLAM1"):
     """particles/sec at 1M+ particles: FS1 observation supersteps
     (8 predict ticks + weight/update/resample) on the webmap. Uses the
     hardware-fast rbg PRNG (the threefry stream alone costs ~5 ms/tick
@@ -135,7 +136,7 @@ def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16):
     import jax
     from slam_tpu.runtime import Runner
     cfg, slam_map = load_workload()
-    runner = Runner(cfg, slam_map, "FASTSLAM1", n_particles=n_particles,
+    runner = Runner(cfg, slam_map, method, n_particles=n_particles,
                     rng_impl="rbg")
     period = cfg.steps_per_observe
     n_ticks = n_supersteps * period
@@ -146,7 +147,7 @@ def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16):
         return None
     ticks_per_sec = result.n_ticks / max(result.wall_seconds, 1e-9)
     pps = ticks_per_sec * n_particles
-    _log(f"FASTSLAM1 p={n_particles:,}: {ticks_per_sec:,.1f} ticks/s "
+    _log(f"{method} p={n_particles:,}: {ticks_per_sec:,.1f} ticks/s "
          f"=> {pps:,.3g} particle-steps/s")
     return pps
 
@@ -388,6 +389,9 @@ def main():
         bench_map_run("FASTSLAM2", "example_webmap", 1 << 17,
                       n_ticks=800)
         bench_particle_throughput()
+        # The optimal-proposal filter at the same million-particle
+        # scale (sequential per-feature proposal refinement included).
+        bench_particle_throughput(method="FASTSLAM2", n_supersteps=8)
         bench_ekf_10k()
         bench_ba_10k()
         bench_config5()

@@ -151,18 +151,22 @@ def gather_particles(state: ParticleState, idx) -> ParticleState:
         from slam_tpu.ops.pallas.gather import sorted_gather_multi
         return _gather_tpu(state, sorted_gather_multi, idx)
     flat = pack_particle_planes(state)
-    picked = flat[:, idx]
     return unpack_particle_planes(state, flat[:, idx])
 
 
-def gather_particles_bounds(state: ParticleState, S) -> ParticleState:
+def gather_particles_bounds(state: ParticleState, S,
+                            interpret: bool = False) -> ParticleState:
     """TPU resample gather driven directly by offspring bounds ``S``
     (slam_tpu.ops.resampling.offspring_bounds) — the ancestor index
     vector is never materialized, which removes the O(N) run-length
     decode (a serialized 1-D scatter, ~11 ms at 1M) from the resample
     path. Non-TPU callers should use gather_particles."""
+    import functools
+
     from slam_tpu.ops.pallas.gather import bounds_gather_multi
-    return _gather_tpu(state, bounds_gather_multi, S)
+    return _gather_tpu(
+        state, functools.partial(bounds_gather_multi,
+                                 interpret=interpret), S)
 
 
 def _gather_tpu(state: ParticleState, gather_fn, sel) -> ParticleState:

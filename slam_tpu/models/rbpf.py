@@ -18,6 +18,11 @@ from slam_tpu.models.particles import ParticleState, gather_particles
 from slam_tpu.ops import planes as pk
 from slam_tpu.ops.resampling import resample_particles
 
+# Test hook: drive the TPU bounds-resample arm of ``resample`` in
+# Pallas interpret mode on CPU (tests/test_models.py equality-checks
+# it against the materialized-index path).
+_FORCE_BOUNDS_INTERPRET = False
+
 
 TILE_SUB = 8
 
@@ -231,13 +236,15 @@ def resample(state: ParticleState, key, n_min, do_resample) -> ParticleState:
     uniform = jnp.full_like(logw_n, -jnp.log(jnp.float32(n)))
     new_logw = jnp.where(need, uniform, logw_n)
 
-    if jax.default_backend() == "tpu" and n % 512 == 0:
+    if ((jax.default_backend() == "tpu" or _FORCE_BOUNDS_INTERPRET)
+            and n % 512 == 0):
         from slam_tpu.models.particles import gather_particles_bounds
 
         def do(s):
             csum = rs._cumsum_2d(jnp.exp(logw_n))
             S = rs.offspring_bounds(key, csum, n)
-            return gather_particles_bounds(s, S)
+            return gather_particles_bounds(
+                s, S, interpret=_FORCE_BOUNDS_INTERPRET)
 
         state = jax.lax.cond(need, do, lambda s: s, state)
     else:
