@@ -161,20 +161,23 @@ def _gn_normal_blocks(poses, landmarks, odom, odom_info, z, lm_idx,
     All_terms = jnp.einsum("tkab,tkbc->tkac", HfR, Hf,
                            precision=_HIGHEST)         # [T, K, 2, 2]
     bl_terms = jnp.einsum("tkab,tkb->tka", HfR, r, precision=_HIGHEST)
-    flat_idx = lm_idx.reshape(-1)
-    All = jnp.zeros((L, 2, 2), dtype).at[flat_idx].add(
-        All_terms.reshape(-1, 2, 2))
-    bl = jnp.zeros((L, 2), dtype).at[flat_idx].add(
-        bl_terms.reshape(-1, 2))
+    # Landmark-indexed accumulation as ONE-HOT CONTRACTIONS instead of
+    # XLA scatter-adds: a [T*K]-element scatter into the dense blocks
+    # lowers to a serialized update loop (~15 ms/step at T=256, K=24,
+    # L=10k in the round-4 trace), while the one-hot matmuls ride the
+    # MXU. Same sums up to f32 accumulation order.
+    sel = (lm_idx[..., None] == jnp.arange(L)[None, None, :]
+           ).astype(dtype)                             # [T, K, L]
+    All = jnp.einsum("tkab,tkl->lab", All_terms, sel,
+                     precision=_HIGHEST)               # [L, 2, 2]
+    bl = jnp.einsum("tka,tkl->la", bl_terms, sel,
+                    precision=_HIGHEST)                # [L, 2]
 
     # Cross blocks W[t, j] += Hv' Rinv Hf -> dense [3T, 2L].
     Wt = jnp.einsum("tkab,tkbc->tkac", HvR, Hf,
                     precision=_HIGHEST)                # [T, K, 3, 2]
-    W = jnp.zeros((T, 3, L, 2), dtype)
-    t_idx = jnp.broadcast_to(jnp.arange(T)[:, None],
-                             lm_idx.shape).reshape(-1)
-    W = W.at[t_idx, :, flat_idx, :].add(
-        Wt.reshape(-1, 3, 2))
+    W = jnp.einsum("tkab,tkl->talb", Wt, sel,
+                   precision=_HIGHEST)                 # [T, 3, L, 2]
     W = W.reshape(T * 3, L * 2)
 
     # Odometry factors.
