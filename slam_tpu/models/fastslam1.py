@@ -19,6 +19,7 @@ Pipeline per observe tick (fastslam1wrapper.cpp:55-109):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,8 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
             _fused_block,
             fs1_update_tpu,
         )
-        if _fused_block(state.n_particles, state.capacity) is not None:
+        if _fused_block(state.n_particles, state.capacity,
+                        z.shape[0]) is not None:
             # Fully-fused single-pass update: weights + matched EKF +
             # new-feature planes in one aliased kernel; only the id
             # table / live count bookkeeping stays out here.
@@ -107,6 +109,102 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
     if resample_fn is not None:
         return resample_fn(state, key, n_min)
     return rbpf.resample(state, key, n_min, do_resample)
+
+
+def deferred_resample_bounds(logw, key, n_min, do_resample):
+    """Neff-gated stratified resample DECISION as offspring bounds:
+    returns (S [P] int32 — identity arange(1, P+1) when the gate does
+    not fire — and the new log-weights). The permutation encoded by S
+    is NOT applied here; the landmark planes are permuted inside the
+    next superstep's fused update kernel (fs1_resample_update_tpu),
+    and the caller eagerly permutes only the small pose rows.
+    Branchless by design: no lax.cond means no operand copies of the
+    big planes into a conditional (the round-4 trace's 2.5 ms/superstep
+    `copy.*` HLOs; BENCH_NOTES)."""
+    from slam_tpu.ops import resampling as rs
+
+    n = logw.shape[-1]
+    logw_n = rs.normalize_log_weights(logw)
+    neff = jnp.exp(-jax.scipy.special.logsumexp(2.0 * logw_n, axis=-1))
+    need = jnp.asarray(do_resample) & (neff < n_min)
+
+    csum = rs._cumsum_2d(jnp.exp(logw_n))
+    S_fire = rs.offspring_bounds(key, csum, n)
+    identity = jnp.arange(1, n + 1, dtype=jnp.int32)
+    S = jnp.where(need, S_fire, identity)
+    uniform = jnp.full_like(logw_n, -jnp.log(jnp.float32(n)))
+    return S, jnp.where(need, uniform, logw_n)
+
+
+class DeferredState(NamedTuple):
+    """FastSlam1Deferred carry: particle state whose landmark planes
+    are PRE-permutation, plus the pending offspring bounds."""
+    ps: ParticleState
+    S: jnp.ndarray      # [P] int32 pending offspring bounds
+
+
+def fs1_update_deferred(dstate: DeferredState, key, z, ids, zmask, R,
+                        n_min, *, do_resample: bool = True,
+                        interpret: bool = False) -> DeferredState:
+    """FS1 observe update with DEFERRED resampling: the pending
+    permutation from the previous superstep is applied to the landmark
+    planes inside the fused update kernel's single state pass; this
+    superstep's resample decision becomes the next pending bounds, with
+    only the small pose rows permuted eagerly (they feed predict before
+    the next update). Semantically equal to fs1_update followed by the
+    eager gather, up to the one-superstep deferral of the landmark
+    permutation (tests/test_deferred.py equality-checks full runs
+    through finalize_deferred)."""
+    from slam_tpu.ops.pallas.gather import bounds_gather_multi
+    from slam_tpu.ops.pallas.kernels import fs1_resample_update_tpu
+
+    state, S = dstate.ps, dstate.S
+    assoc, is_new = rbpf.associate_known(state, ids, zmask)
+    matched = assoc >= 0
+    slot = jnp.where(matched, assoc, 0)
+    L = state.capacity
+    offset = (jnp.cumsum(is_new.astype(jnp.int32))
+              - is_new.astype(jnp.int32))
+    slot_new = state.n + offset
+    ok = is_new & (slot_new < L)
+
+    state = fs1_resample_update_tpu(state, S, z, slot, matched,
+                                    slot_new, ok, R,
+                                    interpret=interpret)
+    table = state.da_table.at[
+        jnp.where(ok, ids, state.da_table.shape[0])].set(
+        slot_new, mode="drop")
+    state = state._replace(n=state.n + jnp.sum(ok, dtype=jnp.int32),
+                           da_table=table)
+
+    # Same key discipline as the eager path (rbpf.resample consumes the
+    # update key unsplit), so both paths draw the same stratified
+    # dither and pick identical ancestors.
+    S_next, new_logw = deferred_resample_bounds(
+        state.logw, key, n_min, do_resample)
+    small = jnp.concatenate([state.xv, state.Pv], axis=0)    # [9, P]
+    small_g = bounds_gather_multi([small], S_next,
+                                  interpret=interpret)[0]
+    state = state._replace(logw=new_logw, xv=small_g[:3],
+                           Pv=small_g[3:9])
+    return DeferredState(ps=state, S=S_next)
+
+
+def finalize_deferred(dstate: DeferredState,
+                      interpret: bool = False) -> ParticleState:
+    """Apply the pending landmark permutation (the pose rows are
+    already permuted) — call once after the run to materialize the
+    logical particle state."""
+    from slam_tpu.ops.pallas.gather import bounds_gather_multi
+
+    state, S = dstate.ps, dstate.S
+    P = state.n_particles
+    L = state.capacity
+    lm_g, lmP_g = bounds_gather_multi(
+        [state.lm.reshape(2 * L, P), state.lm_P.reshape(3 * L, P)],
+        S, interpret=interpret)
+    return state._replace(lm=lm_g.reshape(2, L, P),
+                          lm_P=lmP_g.reshape(3, L, P))
 
 
 class FastSlam1:
@@ -170,3 +268,52 @@ class FastSlam1:
         """Estimated pose from the particle cloud
         (computeEstimatedPosition, ParticleSLAMWrapper.cpp:56-119)."""
         return estimate_position(state, self.config.POSE_ESTIMATE)
+
+
+class FastSlam1Deferred(FastSlam1):
+    """FastSLAM 1.0 with the resample permutation of the landmark
+    planes DEFERRED into the next superstep's fused kernel pass
+    (fs1_update_deferred): per superstep the landmark state moves
+    through HBM exactly once — the TPU-native replacement for the
+    reference's copy-everything resample loop (resampleParticles,
+    core.cpp:736-748) at large particle counts. Requires a TPU backend
+    (or interpret=True for tests) and P % 512 == 0."""
+
+    PREDICT_TOUCHED = ("xv",)
+
+    def __init__(self, config: SlamConfig, n_map_landmarks: int,
+                 interpret: bool = False):
+        super().__init__(config, n_map_landmarks, use_pallas=True)
+        cfg = config
+        self._interpret = interpret
+        self._update_d = jax.jit(partial(
+            fs1_update_deferred, do_resample=bool(cfg.SWITCH_RESAMPLE),
+            interpret=interpret))
+
+    def init(self, n_particles: int | None = None) -> DeferredState:
+        ps = super().init(n_particles)
+        P = ps.n_particles
+        assert P % 512 == 0, \
+            "deferred resampling needs kernel-tileable P"
+        return DeferredState(
+            ps=ps, S=jnp.arange(1, P + 1, dtype=jnp.int32))
+
+    def predict(self, state: DeferredState, key, vn, gn, phi_true
+                ) -> DeferredState:
+        return state._replace(
+            ps=super().predict(state.ps, key, vn, gn, phi_true))
+
+    def update(self, state: DeferredState, key, z, ids, zmask,
+               phi=None) -> DeferredState:
+        cfg = self.config
+        n_min = cfg.NEFFECTIVE * state.ps.n_particles / cfg.NPARTICLES \
+            if cfg.NPARTICLES else cfg.NEFFECTIVE
+        return self._update_d(state, key, z, ids, zmask,
+                              jnp.diag(jnp.asarray(cfg.Re, jnp.float32)),
+                              jnp.float32(n_min))
+
+    def pose(self, state: DeferredState) -> jnp.ndarray:
+        return estimate_position(state.ps, self.config.POSE_ESTIMATE)
+
+    def finalize(self, state: DeferredState) -> ParticleState:
+        return finalize_deferred(state, interpret=self._interpret)

@@ -334,19 +334,32 @@ def _exact_matmul(sel_bf16, x):
 
 def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
                          r_ref, dlogw_ref, lmo_ref, lmPo_ref,
-                         *, L: int, K: int):
-    """One VMEM-resident pass per lane block: landmark gather (one-hot
-    MXU), Jacobians, per-obs log-likelihood, matched-feature 2x2 EKF
-    updates, new-feature initialization, and the combined scatter-back
-    — with the landmark planes aliased in place.
+                         *, Lseg: int, K: int):
+    """One VMEM-resident pass per (lane block x landmark segment):
+    landmark gather (one-hot MXU), Jacobians, per-obs log-likelihood,
+    matched-feature 2x2 EKF updates, new-feature initialization, and
+    the combined scatter-back — with the landmark planes aliased in
+    place.
 
     Replaces the round-3 chain gather_landmarks -> _observe_call ->
     scatter_slots -> add_new_features, whose HLO moved the [5L, P]
     landmark state ~4x per observe (gather-relayout copies, the
     one-hot rewrite, and lax.cond carry copies; see the round-4 trace
-    notes in BENCH_NOTES.md)."""
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    notes in BENCH_NOTES.md).
+
+    Segmentation (round 5): the grid's second dim walks row groups of
+    ``Lseg`` landmark slots so the fused path runs at ANY per-particle
+    capacity (the full-10k BASELINE config #5 map; one lane block of
+    L = 10k state no longer needs to fit VMEM at once). Known
+    association puts every observation in exactly one segment, so each
+    segment updates the observations whose slot it owns — the same
+    ownership-mask pattern slam_tpu.parallel.landmarks uses across
+    shards — and the per-particle weight delta accumulates across the
+    (innermost) segment iterations in the revisited dlogw block."""
+    seg = pl.program_id(1)
+    s_lo = seg * Lseg
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, Lseg), 1)
+    sub_l = jax.lax.broadcasted_iota(jnp.int32, (Lseg, 1), 0)
 
     slotm_c = _col(slt_ref, 0, K)                     # [K, 1]
     slotm_r = _lane(slt_ref, 0, K)                    # [1, K]
@@ -357,19 +370,32 @@ def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
     m_row = _lane(zm_ref, 2, K)                       # [1, K]
     n_row = _lane(zm_ref, 3, K)                       # new-ok [1, K]
 
-    # Gather one-hot [K, L] (unmatched park at slot 0, as the unfused
-    # gather does) and masked scatter one-hots [L, K].
-    sel = (lane_l == slotm_c).astype(jnp.bfloat16)
-    selT_m = ((sub_l == slotm_r) & (m_row > 0)).astype(jnp.bfloat16)
-    selT_n = ((sub_l == slotn_r) & (n_row > 0)).astype(jnp.bfloat16)
-    keep = 1.0 - (jnp.sum(selT_m, axis=1, keepdims=True)
-                  + jnp.sum(selT_n, axis=1, keepdims=True))  # [L, 1]
+    # Segment ownership: an observation belongs to the segment holding
+    # its slot. Unowned observations park at local row 0 (real, finite
+    # landmark values — exactly the unfused gather's unmatched-at-slot-0
+    # semantics) and are masked out of the likelihood and the scatter.
+    own_m_c = ((m_col > 0) & (slotm_c >= s_lo)
+               & (slotm_c < s_lo + Lseg))             # [K, 1] bool
+    own_m_r = ((m_row > 0) & (slotm_r >= s_lo)
+               & (slotm_r < s_lo + Lseg))             # [1, K] bool
+    own_n_r = ((n_row > 0) & (slotn_r >= s_lo)
+               & (slotn_r < s_lo + Lseg))
+    lslot_c = jnp.where(own_m_c, slotm_c - s_lo, 0)
+    lslot_m_r = jnp.where(own_m_r, slotm_r - s_lo, 0)
+    lslot_n_r = jnp.where(own_n_r, slotn_r - s_lo, 0)
 
-    lmx = _exact_matmul(sel, lm_ref[0:L, :])
-    lmy = _exact_matmul(sel, lm_ref[L:2 * L, :])
-    p00 = _exact_matmul(sel, lmP_ref[0:L, :])
-    p01 = _exact_matmul(sel, lmP_ref[L:2 * L, :])
-    p11 = _exact_matmul(sel, lmP_ref[2 * L:3 * L, :])
+    # Gather one-hot [K, Lseg] and masked scatter one-hots [Lseg, K].
+    sel = (lane_l == lslot_c).astype(jnp.bfloat16)
+    selT_m = ((sub_l == lslot_m_r) & own_m_r).astype(jnp.bfloat16)
+    selT_n = ((sub_l == lslot_n_r) & own_n_r).astype(jnp.bfloat16)
+    keep = 1.0 - (jnp.sum(selT_m, axis=1, keepdims=True)
+                  + jnp.sum(selT_n, axis=1, keepdims=True))  # [Lseg, 1]
+
+    lmx = _exact_matmul(sel, lm_ref[0])
+    lmy = _exact_matmul(sel, lm_ref[1])
+    p00 = _exact_matmul(sel, lmP_ref[0])
+    p01 = _exact_matmul(sel, lmP_ref[1])
+    p11 = _exact_matmul(sel, lmP_ref[2])
 
     r00, r01, r11 = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
     xvx, xvy, xvt = (xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :])
@@ -379,7 +405,18 @@ def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
     v1 = wrap_angle(z1 - J.zb)
 
     logl = pk.log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11)
-    dlogw_ref[:, :] = jnp.sum(logl * m_col, axis=0, keepdims=True)
+    dpart = jnp.sum(logl * own_m_c.astype(logl.dtype), axis=0,
+                    keepdims=True)
+
+    # The dlogw block is indexed by the lane block alone, so it stays
+    # resident across the (innermost) segment dim and accumulates.
+    @pl.when(seg == 0)
+    def _():
+        dlogw_ref[:, :] = dpart
+
+    @pl.when(seg != 0)
+    def _():
+        dlogw_ref[:, :] += dpart
 
     upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
     ini = pk.feature_init_planes(xvx, xvy, xvt, z0, z1, r00, r01, r11)
@@ -388,38 +425,79 @@ def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
         return (rows * keep + _exact_matmul(selT_m, u)
                 + _exact_matmul(selT_n, i))
 
-    lmo_ref[0:L, :] = scat(lm_ref[0:L, :], upd.nx, ini[0])
-    lmo_ref[L:2 * L, :] = scat(lm_ref[L:2 * L, :], upd.ny, ini[1])
-    lmPo_ref[0:L, :] = scat(lmP_ref[0:L, :], upd.np00, ini[2])
-    lmPo_ref[L:2 * L, :] = scat(lmP_ref[L:2 * L, :], upd.np01, ini[3])
-    lmPo_ref[2 * L:3 * L, :] = scat(lmP_ref[2 * L:3 * L, :], upd.np11,
-                                    ini[4])
+    lmo_ref[0] = scat(lm_ref[0], upd.nx, ini[0])
+    lmo_ref[1] = scat(lm_ref[1], upd.ny, ini[1])
+    lmPo_ref[0] = scat(lmP_ref[0], upd.np00, ini[2])
+    lmPo_ref[1] = scat(lmP_ref[1], upd.np01, ini[3])
+    lmPo_ref[2] = scat(lmP_ref[2], upd.np11, ini[4])
 
 
-def _fused_block(P: int, L: int) -> int | None:
-    """Largest LANE-multiple block dividing P that fits the budget
-    (the in/out landmark blocks dominate the working set); None if P
-    is not a LANE multiple (callers fall back to the unfused path)."""
+# Non-landmark VMEM working set, in [*, B]-plane equivalents: the ~45
+# K-shaped temporaries (gathered planes, Jacobians, update, init,
+# likelihood) plus xv/dlogw I/O and slack. Calibrated against the
+# round-3/4 live measurements (18.8 MB at block=8064, K=14).
+_TEMP_K_PLANES = 45
+_TEMP_MISC_LANES = 214
+
+
+def _seg_bytes(B: int, Lseg: int, K: int) -> int:
+    """VMEM bytes for one (lane block, segment) program: double-buffered
+    in+out landmark blocks (2 x 2 x 5 planes) + K-temps + misc."""
+    return 4 * (B * (20 * Lseg + _TEMP_K_PLANES * K + _TEMP_MISC_LANES)
+                + 4 * K * Lseg)
+
+
+def _fused_tiling(P: int, L: int, K: int = 14
+                  ) -> tuple[int, int] | None:
+    """(lane block B, landmark segment Lseg) for the fused update
+    kernel, or None when the fused path cannot run (P not LANE-aligned).
+    Prefers an unsegmented pass with the largest lane block (fewer grid
+    programs); falls back to row segments when one lane block of full-L
+    landmark state exceeds the VMEM budget — this is what lets the
+    kernel run at the full-10k per-particle capacity."""
     if P % LANE != 0:
         return None
-    per_lane = (2 * (2 * (3 + 5 * L) + 1) + 45 * 14 + 200) * 4
-    cap = _VMEM_BUDGET_BYTES * 2 // per_lane
-    if cap < LANE:
-        # One lane block of in+out landmark state alone would blow
-        # VMEM (very large per-particle capacity, e.g. the full-10k
-        # map) — callers fall back to the unfused HBM path.
-        return None
+    budget = _VMEM_BUDGET_BYTES * 2
+
+    # Unsegmented: largest LANE-multiple block dividing P that fits.
     best = None
     for d in range(1, P // LANE + 1):
-        if (P // LANE) % d == 0 and d * LANE <= cap:
+        if (P // LANE) % d == 0 and d * LANE <= 8192 \
+                and _seg_bytes(d * LANE, L, K) <= budget:
             best = d * LANE
-    return best
+    if best is not None:
+        return best, L
+
+    # Segmented: moderate lane blocks, largest dividing segment that
+    # fits (sublane-aligned segments preferred for dense tiling).
+    for B in (512, 256, 128):
+        if P % B != 0:
+            continue
+        best_seg, best_seg8 = None, None
+        for d in range(1, L + 1):
+            if L % d == 0 and _seg_bytes(B, d, K) <= budget:
+                best_seg = d if best_seg is None else max(best_seg, d)
+                if d % 8 == 0:
+                    best_seg8 = d
+        seg = best_seg8 or best_seg
+        if seg is not None and seg < L:
+            return B, seg
+    return None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "psum_axis"))
+def _fused_block(P: int, L: int, K: int = 14) -> int | None:
+    """Caller gate (kept API): the fused update path is available iff a
+    tiling exists; returns its lane block."""
+    t = _fused_tiling(P, L, K)
+    return None if t is None else t[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "psum_axis",
+                                             "tiling"))
 def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
                    interpret: bool = False,
-                   psum_axis: str | None = None):
+                   psum_axis: str | None = None,
+                   tiling: tuple[int, int] | None = None):
     """Fused in-place FS1 observation update on a ParticleState:
     weight delta + matched-feature EKF + new-feature planes in ONE
     kernel pass over the landmark state (aliased — no full-buffer
@@ -430,10 +508,10 @@ def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
     P = state.n_particles
     L = state.capacity
     K = z.shape[0]
-    B = _fused_block(P, L)
-    assert B is not None, "P must be LANE-aligned for the fused path"
-    lm2 = state.lm.reshape(2 * L, P)
-    lmP2 = state.lm_P.reshape(3 * L, P)
+    tiling = tiling or _fused_tiling(P, L, K)
+    assert tiling is not None, \
+        "P must be LANE-aligned for the fused path"
+    B, Lseg = tiling
     zm = jnp.stack([z[:, 0], z[:, 1],
                     matched.astype(z.dtype),
                     ok_new.astype(z.dtype)], axis=1)         # [K, 4]
@@ -443,46 +521,361 @@ def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
     r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
                         state.xv.dtype).reshape(1, 3)
 
-    grid = P // B
+    lm_spec = pl.BlockSpec((2, Lseg, B), lambda i, s: (0, s, i),
+                           memory_space=pltpu.VMEM)
+    lmP_spec = pl.BlockSpec((3, Lseg, B), lambda i, s: (0, s, i),
+                            memory_space=pltpu.VMEM)
     dlogw, lm_o, lmP_o = pl.pallas_call(
-        functools.partial(_fused_update_kernel, L=L, K=K),
-        grid=(grid,),
+        functools.partial(_fused_update_kernel, Lseg=Lseg, K=K),
+        grid=(P // B, L // Lseg),
         in_specs=[
-            pl.BlockSpec((3, B), lambda i: (0, i),
+            pl.BlockSpec((3, B), lambda i, s: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * L, B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            lm_spec,
+            lmP_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),           # zm
             pl.BlockSpec(memory_space=pltpu.SMEM),           # slt
-            pl.BlockSpec((1, 3), lambda i: (0, 0),
+            pl.BlockSpec((1, 3), lambda i, s: (0, 0),
                          memory_space=pltpu.SMEM),           # R
         ],
         out_specs=[
-            pl.BlockSpec((1, B), lambda i: (0, i),
+            pl.BlockSpec((1, B), lambda i, s: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * L, B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * L, B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            lm_spec,
+            lmP_spec,
         ],
         out_shape=[jax.ShapeDtypeStruct((1, P), state.xv.dtype),
-                   jax.ShapeDtypeStruct((2 * L, P), state.xv.dtype),
-                   jax.ShapeDtypeStruct((3 * L, P), state.xv.dtype)],
+                   jax.ShapeDtypeStruct((2, L, P), state.xv.dtype),
+                   jax.ShapeDtypeStruct((3, L, P), state.xv.dtype)],
         input_output_aliases={1: 1, 2: 2},
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(state.xv, lm2, lmP2, zm, slt, r_row)
+    )(state.xv, state.lm, state.lm_P, zm, slt, r_row)
     d = dlogw[0]
     if psum_axis is not None:
         # Landmark-sharded caller: each shard's kernel saw only its
         # owned slots; the per-particle log-likelihood is the sum of
         # the owners' contributions.
         d = jax.lax.psum(d, psum_axis)
-    return state._replace(logw=state.logw + d,
-                          lm=lm_o.reshape(2, L, P),
-                          lm_P=lmP_o.reshape(3, L, P))
+    return state._replace(logw=state.logw + d, lm=lm_o, lm_P=lmP_o)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 5: fused resample + update (deferred ancestor permutation)
+# ---------------------------------------------------------------------------
+
+def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
+                     slt_ref, r_ref, lm_hbm, lmP_hbm, meta_hbm,
+                     dlogw_ref, lmo_ref, lmPo_ref,
+                     win, mwin, gath, sem,
+                     *, L: int, Lseg: int, K: int, B: int, chunk: int,
+                     Plim: int):
+    """Fused FS1 observation update where the landmark planes are read
+    THROUGH the pending resample permutation: per (lane block x landmark
+    segment), DMA the ancestor window of the PRE-resample state, select
+    the ancestors by offspring bounds (exact int8 byte-plane matmuls,
+    as slam_tpu.ops.pallas.gather), then run the full kernel-4 body
+    (slot gather, Jacobians, likelihood, matched-feature EKF, new-
+    feature init, scatter) on the permuted values — so one superstep
+    moves the landmark state through HBM exactly ONCE (read old buffer,
+    write new buffer), replacing the round-4 chain of resample-cond
+    operand copies + standalone bounds gather + aliased update kernel
+    (each a full state pass; BENCH_NOTES round-4 stage table).
+
+    Identity fast path: when a lane block's pending permutation is the
+    identity (every skip superstep; precomputed per-block flag), the
+    window IS the block — the one-hot build and selection matmuls are
+    skipped entirely and the DMA'd window feeds the update math
+    directly, so skip supersteps cost pure DMA.
+
+    The offspring-bound rows ride their own DMA into a shared-lifetime
+    scratch (the round-4 race lesson: metadata must share the data
+    window's slot discipline, never a serially-reused side scratch).
+    """
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    nlane = pl.num_programs(0)
+    nseg = pl.num_programs(1)
+    t = i * nseg + s
+    slot = jax.lax.rem(t, 2)
+    lo = lo_ref[i]
+    nch = nch_ref[i]
+    ident = ident_ref[i]
+
+    def copies(b_lo, c, seg, s_idx):
+        col = pl.multiple_of(jnp.minimum(b_lo + c * chunk, Plim), LANE)
+        dmas = []
+        for g in range(2):
+            dmas.append(pltpu.make_async_copy(
+                lm_hbm.at[pl.ds(g * L + seg * Lseg, Lseg),
+                          pl.ds(col, chunk)],
+                win.at[s_idx, pl.ds(g * Lseg, Lseg)],
+                sem.at[s_idx, g]))
+        for g in range(3):
+            dmas.append(pltpu.make_async_copy(
+                lmP_hbm.at[pl.ds(g * L + seg * Lseg, Lseg),
+                           pl.ds(col, chunk)],
+                win.at[s_idx, pl.ds((2 + g) * Lseg, Lseg)],
+                sem.at[s_idx, 2 + g]))
+        dmas.append(pltpu.make_async_copy(
+            meta_hbm.at[:, pl.ds(col, chunk)], mwin.at[s_idx],
+            sem.at[s_idx, 5]))
+        return dmas
+
+    @pl.when(t == 0)
+    def _():
+        for dma in copies(lo, 0, 0, 0):
+            dma.start()
+
+    # Prefetch the NEXT grid step's first chunk (next segment of this
+    # lane block, or segment 0 of the next block).
+    @pl.when(t + 1 < nlane * nseg)
+    def _():
+        nxt_i = jnp.where(s + 1 < nseg, i, i + 1)
+        nxt_s = jnp.where(s + 1 < nseg, s + 1, 0)
+        for dma in copies(lo_ref[nxt_i], 0, nxt_s,
+                          jax.lax.rem(t + 1, 2)):
+            dma.start()
+
+    for dma in copies(lo, 0, s, slot):
+        dma.wait()
+
+    # ---- resample selection (or identity passthrough) into gath ----
+    @pl.when(ident != 0)
+    def _():
+        off0 = pl.multiple_of(
+            lo - pl.multiple_of(jnp.minimum(lo, Plim), LANE), LANE)
+        gath[:, :] = win[slot, :, pl.ds(off0, B)]
+
+    @pl.when(ident == 0)
+    def _():
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+        def onehot_t(c, s_idx):
+            # Window lane r is ancestor g = start + r; it owns output
+            # j iff Sm1[g] <= j < S[g]; `own` masks lanes to the chunk
+            # owning them under the unclamped partition (clamped
+            # windows overlap their predecessor).
+            off = pl.multiple_of(jnp.minimum(lo + c * chunk, Plim),
+                                 LANE) - lo
+            own = ((rows1 + off >= c * chunk)
+                   & (rows1 + off < (c + 1) * chunk))
+            sm1 = mwin[s_idx, 0:1, :]
+            s_hi = mwin[s_idx, 1:2, :]
+            return (sm1 <= pos) & (pos < s_hi) & own
+
+        from slam_tpu.ops.pallas.gather import _select_int8
+
+        @pl.when(nch > 1)
+        def _():
+            for dma in copies(lo, 1, s, 2):
+                dma.start()
+
+        acc = _select_int8(win[slot], onehot_t(0, slot),
+                           transposed=True)
+
+        def extra(c, acc):
+            s_c = 2 + jax.lax.rem(c - 1, 2)
+
+            @pl.when(c + 1 < nch)
+            def _():
+                for dma in copies(lo, c + 1, s,
+                                  2 + jax.lax.rem(c, 2)):
+                    dma.start()
+
+            for dma in copies(lo, c, s, s_c):
+                dma.wait()
+            return acc | _select_int8(win[s_c], onehot_t(c, s_c),
+                                      transposed=True)
+
+        acc = jax.lax.fori_loop(1, nch, extra, acc)
+        gath[:, :] = jax.lax.bitcast_convert_type(acc, jnp.float32)
+
+    # ---- kernel-4 update body on the permuted values ----
+    s_lo = s * Lseg
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, Lseg), 1)
+    sub_l = jax.lax.broadcasted_iota(jnp.int32, (Lseg, 1), 0)
+
+    slotm_c = _col(slt_ref, 0, K)
+    slotm_r = _lane(slt_ref, 0, K)
+    slotn_r = _lane(slt_ref, 1, K)
+    z0 = _col(zm_ref, 0, K)
+    z1 = _col(zm_ref, 1, K)
+    m_col = _col(zm_ref, 2, K)
+    m_row = _lane(zm_ref, 2, K)
+    n_row = _lane(zm_ref, 3, K)
+
+    own_m_c = ((m_col > 0) & (slotm_c >= s_lo)
+               & (slotm_c < s_lo + Lseg))
+    own_m_r = ((m_row > 0) & (slotm_r >= s_lo)
+               & (slotm_r < s_lo + Lseg))
+    own_n_r = ((n_row > 0) & (slotn_r >= s_lo)
+               & (slotn_r < s_lo + Lseg))
+    lslot_c = jnp.where(own_m_c, slotm_c - s_lo, 0)
+    lslot_m_r = jnp.where(own_m_r, slotm_r - s_lo, 0)
+    lslot_n_r = jnp.where(own_n_r, slotn_r - s_lo, 0)
+
+    sel = (lane_l == lslot_c).astype(jnp.bfloat16)
+    selT_m = ((sub_l == lslot_m_r) & own_m_r).astype(jnp.bfloat16)
+    selT_n = ((sub_l == lslot_n_r) & own_n_r).astype(jnp.bfloat16)
+    keep = 1.0 - (jnp.sum(selT_m, axis=1, keepdims=True)
+                  + jnp.sum(selT_n, axis=1, keepdims=True))
+
+    lmx = _exact_matmul(sel, gath[0 * Lseg:1 * Lseg])
+    lmy = _exact_matmul(sel, gath[1 * Lseg:2 * Lseg])
+    p00 = _exact_matmul(sel, gath[2 * Lseg:3 * Lseg])
+    p01 = _exact_matmul(sel, gath[3 * Lseg:4 * Lseg])
+    p11 = _exact_matmul(sel, gath[4 * Lseg:5 * Lseg])
+
+    r00, r01, r11 = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
+    xvx, xvy, xvt = (xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :])
+    J = pk.jacobians_planes(xvx, xvy, xvt, lmx, lmy, p00, p01, p11,
+                            r00, r01, r11)
+    v0 = z0 - J.zr
+    v1 = wrap_angle(z1 - J.zb)
+
+    logl = pk.log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11)
+    dpart = jnp.sum(logl * own_m_c.astype(logl.dtype), axis=0,
+                    keepdims=True)
+
+    @pl.when(s == 0)
+    def _():
+        dlogw_ref[:, :] = dpart
+
+    @pl.when(s != 0)
+    def _():
+        dlogw_ref[:, :] += dpart
+
+    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
+    ini = pk.feature_init_planes(xvx, xvy, xvt, z0, z1, r00, r01, r11)
+
+    def scat(rows, u, i_):
+        return (rows * keep + _exact_matmul(selT_m, u)
+                + _exact_matmul(selT_n, i_))
+
+    lmo_ref[0] = scat(gath[0 * Lseg:1 * Lseg], upd.nx, ini[0])
+    lmo_ref[1] = scat(gath[1 * Lseg:2 * Lseg], upd.ny, ini[1])
+    lmPo_ref[0] = scat(gath[2 * Lseg:3 * Lseg], upd.np00, ini[2])
+    lmPo_ref[1] = scat(gath[3 * Lseg:4 * Lseg], upd.np01, ini[3])
+    lmPo_ref[2] = scat(gath[4 * Lseg:5 * Lseg], upd.np11, ini[4])
+
+
+def _deferred_tiling(P: int, L: int, K: int, block: int, chunk: int
+                     ) -> int | None:
+    """Landmark segment size for the deferred kernel, or None when the
+    deferred path cannot run. Working set adds the 4-slot DMA window
+    (5*Lseg x chunk) and the gathered scratch to kernel 4's budget."""
+    if P % LANE != 0 or P % block != 0 or P < chunk or chunk < block:
+        return None
+    budget = _VMEM_BUDGET_BYTES * 2
+
+    def fits(Lseg):
+        return 4 * (block * (10 * Lseg + _TEMP_K_PLANES * K
+                             + _TEMP_MISC_LANES)
+                    + 4 * 5 * Lseg * chunk      # window slots
+                    + 5 * Lseg * block          # gath scratch
+                    + 4 * K * Lseg) <= budget
+
+    best, best8 = None, None
+    for d in range(1, L + 1):
+        if L % d == 0 and fits(d):
+            best = d
+            if d % 8 == 0:
+                best8 = d
+    return best8 or best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block",
+                                             "chunk", "lseg"))
+def fs1_resample_update_tpu(state, S, z, slot, matched, slot_new,
+                            ok_new, R, block: int = 512,
+                            chunk: int = 512,
+                            lseg: int | None = None,
+                            interpret: bool = False):
+    """Fused resample + FS1 observation update: applies the PENDING
+    ancestor permutation encoded by offspring bounds ``S`` [P]
+    (slam_tpu.ops.resampling.offspring_bounds; identity = arange(1,P+1))
+    to the landmark planes while computing the full observation update
+    — one state pass total. The pose/weight rows must already be
+    permuted by the caller (they are consumed by predict before this
+    kernel runs). Semantics: fs1_update_tpu(gather_by(S) applied first).
+    """
+    P = state.n_particles
+    L = state.capacity
+    K = z.shape[0]
+    B = block
+    Lseg = lseg or _deferred_tiling(P, L, K, block, chunk)
+    assert Lseg is not None, (P, L, K, block, chunk)
+
+    S = S.astype(jnp.int32)
+    Sm1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), S[:-1]])
+    ar = jnp.arange(P, dtype=jnp.int32)
+    # Output j's ancestor is j iff Sm1[j] <= j < S[j]; a block is
+    # identity iff that holds for every j in it.
+    e = (Sm1 <= ar) & (S > ar)
+    nb = P // B
+    ident = jnp.all(e.reshape(nb, B), axis=1).astype(jnp.int32)
+    edges = jnp.arange(nb, dtype=jnp.int32) * B
+    first = jnp.searchsorted(S, edges, side="right").astype(jnp.int32)
+    last = jnp.searchsorted(S, edges + (B - 1),
+                            side="right").astype(jnp.int32)
+    lo = (first // LANE) * LANE
+    nch = (last - lo) // chunk + 1
+    meta = jnp.stack([Sm1, S])                               # [2, P]
+
+    lm2 = state.lm.reshape(2 * L, P)
+    lmP2 = state.lm_P.reshape(3 * L, P)
+    zm = jnp.stack([z[:, 0], z[:, 1],
+                    matched.astype(z.dtype),
+                    ok_new.astype(z.dtype)], axis=1)
+    slt = jnp.stack([jnp.where(matched, slot, 0),
+                     jnp.where(ok_new, slot_new, 0)],
+                    axis=1).astype(jnp.int32)
+    r_row = jnp.asarray([R[0, 0], R[0, 1], R[1, 1]],
+                        state.xv.dtype).reshape(1, 3)
+
+    Plim = P - chunk
+    dlogw, lm_o, lmP_o = pl.pallas_call(
+        functools.partial(_deferred_kernel, L=L, Lseg=Lseg, K=K, B=B,
+                          chunk=chunk, Plim=Plim),
+        grid=(nb, L // Lseg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # nch
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # ident
+            pl.BlockSpec((3, B), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),           # xv
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # zm
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # slt
+            pl.BlockSpec((1, 3), lambda i, s: (0, 0),
+                         memory_space=pltpu.SMEM),           # R
+            pl.BlockSpec(memory_space=pl.ANY),               # lm2
+            pl.BlockSpec(memory_space=pl.ANY),               # lmP2
+            pl.BlockSpec(memory_space=pl.ANY),               # meta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Lseg, B), lambda i, s: (0, s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Lseg, B), lambda i, s: (0, s, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, P), state.xv.dtype),
+                   jax.ShapeDtypeStruct((2, L, P), state.xv.dtype),
+                   jax.ShapeDtypeStruct((3, L, P), state.xv.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((4, 5 * Lseg, chunk), jnp.float32),
+            pltpu.VMEM((4, 2, chunk), jnp.int32),
+            pltpu.VMEM((5 * Lseg, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 6)),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(lo, nch, ident, state.xv, zm, slt, r_row, lm2, lmP2, meta)
+    return state._replace(logw=state.logw + dlogw[0],
+                          lm=lm_o, lm_P=lmP_o)
 
 
 def fs1_observe_tpu(state, z, slot, matched, R,

@@ -97,8 +97,8 @@ def _fs1_update_local(state: ParticleState, key, z, ids, zmask, R,
     from slam_tpu.ops.pallas.kernels import _fused_block, fs1_update_tpu
     interpret = _FORCE_FUSED_INTERPRET
     if ((jax.default_backend() == "tpu" or interpret)
-            and _fused_block(state.n_particles, state.capacity)
-            is not None):
+            and _fused_block(state.n_particles, state.capacity,
+                             z.shape[0]) is not None):
         # Fused single-pass update (slam_tpu.ops.pallas kernel 4) with
         # this shard's ownership masks; only the per-particle weight
         # delta crosses shards (psum inside fs1_update_tpu). The

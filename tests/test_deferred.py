@@ -1,0 +1,142 @@
+"""Deferred-resample FastSLAM1 (kernel 5: fused resample+update) ==
+the eager chain (update -> materialized resample gather), over multi-
+superstep sequences with the Neff gate firing and skipping — the
+permutation is applied one superstep late to the landmark planes, so
+equality holds after finalize_deferred. Interpret mode on CPU; the
+real compile is exercised by bench.py on TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.models import rbpf
+from slam_tpu.models.fastslam1 import (
+    DeferredState,
+    finalize_deferred,
+    fs1_update,
+    fs1_update_deferred,
+)
+from slam_tpu.models.particles import init_particles
+
+R = jnp.asarray(np.diag([0.01, 0.0003]).astype(np.float32))
+
+
+def _mk_state(P, L, n_map, seed=0):
+    rng = np.random.default_rng(seed)
+    state = init_particles(P, L, n_map)
+    return state._replace(
+        xv=jnp.asarray(rng.normal(size=(3, P)).astype(np.float32) * 0.1))
+
+
+def _obs_round(rng, n_map, K, t):
+    """Observation batch for round t: a moving subset of map ids."""
+    ids = np.sort(rng.choice(n_map, K, replace=False)).astype(np.int32)
+    z = np.column_stack([rng.uniform(3, 8, K),
+                         rng.uniform(-0.5, 0.5, K)]).astype(np.float32)
+    zmask = rng.uniform(size=K) < 0.9
+    return jnp.asarray(z), jnp.asarray(ids), jnp.asarray(zmask)
+
+
+def _run_pair(P=1024, L=16, n_map=24, K=5, rounds=4, n_min_frac=0.99,
+              lseg=None, seed=7):
+    rng = np.random.default_rng(seed)
+    state_e = _mk_state(P, L, n_map, seed=seed)
+    state_d = DeferredState(
+        ps=state_e, S=jnp.arange(1, P + 1, dtype=jnp.int32))
+    n_min = jnp.float32(n_min_frac * P)
+
+    fired = 0
+    for t in range(rounds):
+        z, ids, zmask = _obs_round(rng, n_map, K, t)
+        key = jax.random.key(100 + t)
+        # Perturb poses so weights spread (drives the Neff gate).
+        dxv = jnp.asarray(
+            rng.normal(size=(3, P)).astype(np.float32) * 0.05)
+        state_e = state_e._replace(xv=state_e.xv + dxv)
+        state_d = state_d._replace(
+            ps=state_d.ps._replace(xv=state_d.ps.xv + dxv))
+
+        state_e = fs1_update(state_e, key, z, ids, zmask, R, n_min,
+                             use_pallas=False)
+        if lseg is None:
+            state_d = fs1_update_deferred(state_d, key, z, ids, zmask,
+                                          R, n_min, interpret=True)
+        else:
+            state_d = _update_deferred_lseg(state_d, key, z, ids,
+                                            zmask, R, n_min, lseg)
+        # A firing resample resets the weights to exactly uniform.
+        if np.allclose(np.asarray(state_e.logw), -np.log(P)):
+            fired += 1
+
+    final = finalize_deferred(state_d, interpret=True)
+    return state_e, final, fired
+
+
+def _update_deferred_lseg(dstate, key, z, ids, zmask, R, n_min, lseg):
+    """fs1_update_deferred with a forced landmark segmentation (drives
+    the multi-segment arm of the deferred kernel)."""
+    from slam_tpu.models.fastslam1 import deferred_resample_bounds
+    from slam_tpu.ops.pallas.gather import bounds_gather_multi
+    from slam_tpu.ops.pallas.kernels import fs1_resample_update_tpu
+
+    state, S = dstate.ps, dstate.S
+    assoc, is_new = rbpf.associate_known(state, ids, zmask)
+    matched = assoc >= 0
+    slot = jnp.where(matched, assoc, 0)
+    L = state.capacity
+    offset = (jnp.cumsum(is_new.astype(jnp.int32))
+              - is_new.astype(jnp.int32))
+    slot_new = state.n + offset
+    ok = is_new & (slot_new < L)
+    state = fs1_resample_update_tpu(state, S, z, slot, matched,
+                                    slot_new, ok, R, lseg=lseg,
+                                    interpret=True)
+    table = state.da_table.at[
+        jnp.where(ok, ids, state.da_table.shape[0])].set(
+        slot_new, mode="drop")
+    state = state._replace(n=state.n + jnp.sum(ok, dtype=jnp.int32),
+                           da_table=table)
+    S_next, new_logw = deferred_resample_bounds(
+        state.logw, key, n_min, True)
+    small = jnp.concatenate([state.xv, state.Pv], axis=0)
+    small_g = bounds_gather_multi([small], S_next, interpret=True)[0]
+    state = state._replace(logw=new_logw, xv=small_g[:3],
+                           Pv=small_g[3:9])
+    return DeferredState(ps=state, S=S_next)
+
+
+def _assert_state_close(got, want):
+    np.testing.assert_array_equal(int(got.n), int(want.n))
+    np.testing.assert_array_equal(np.asarray(got.da_table),
+                                  np.asarray(want.da_table))
+    np.testing.assert_allclose(np.asarray(got.logw),
+                               np.asarray(want.logw),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.xv), np.asarray(want.xv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lm), np.asarray(want.lm),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lm_P),
+                               np.asarray(want.lm_P),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_deferred_matches_eager_with_resampling():
+    """Gate fires on (nearly) every round: the deferred permutation
+    path is exercised repeatedly, including back-to-back firings."""
+    want, got, fired = _run_pair(n_min_frac=0.999, rounds=4)
+    assert fired >= 2, f"resampling fired only {fired}x — weak test"
+    _assert_state_close(got, want)
+
+
+def test_deferred_matches_eager_no_resampling():
+    """Gate never fires: every superstep takes the identity fast path."""
+    want, got, fired = _run_pair(n_min_frac=0.0, rounds=3)
+    _assert_state_close(got, want)
+
+
+def test_deferred_segmented_matches_eager():
+    """Multi-segment deferred kernel (lseg < L) with resampling."""
+    want, got, fired = _run_pair(n_min_frac=0.999, rounds=3, lseg=4)
+    assert fired >= 1
+    _assert_state_close(got, want)

@@ -177,6 +177,74 @@ def test_fs1_fused_update_matches_unfused_sequence():
                                atol=1e-5)
 
 
+def test_fs1_fused_update_segmented_matches_unsegmented():
+    """The landmark-SEGMENTED fused update (grid over landmark row
+    groups — the full-10k-capacity path) == the single-segment kernel
+    == the unfused chain, with matched/new observations spanning
+    several segments."""
+    from slam_tpu.ops.pallas.kernels import _fused_tiling, fs1_update_tpu
+    from slam_tpu.ops.planes import log_gauss2_planes
+    P, L = 256, 16
+    rng = np.random.default_rng(23)
+    state = init_particles(P, L, 24)
+    lm = rng.normal(size=(2, L, P)).astype(np.float32) * 5
+    lm_P = np.zeros((3, L, P), np.float32)
+    lm_P[0] = 0.1
+    lm_P[2] = 0.1
+    # Live slots 0..9 spread over id table; obs hit slots in segments
+    # 0, 1 and 2 (Lseg = 4), plus new features landing in segments 2/3.
+    table = -np.ones(24, np.int32)
+    table[2:12] = np.arange(10)
+    state = state._replace(
+        xv=jnp.asarray(rng.normal(size=(3, P)).astype(np.float32) * 0.1),
+        lm=jnp.asarray(lm), lm_P=jnp.asarray(lm_P), n=jnp.int32(10),
+        da_table=jnp.asarray(table))
+
+    K = 6
+    z = jnp.asarray(np.column_stack(
+        [rng.uniform(3, 8, K), rng.uniform(-0.5, 0.5, K)]
+    ).astype(np.float32))
+    # ids: slots 1 (seg 0), 6 (seg 1), 9 (seg 2), NEW id 15 -> slot 10
+    # (seg 2), NEW id 20 -> slot 11 (seg 2), invalid.
+    ids = jnp.asarray(np.array([3, 8, 11, 15, 20, 4], np.int32))
+    zmask = jnp.asarray(np.array([True, True, True, True, True, False]))
+
+    assoc, is_new = rbpf.associate_known(state, ids, zmask)
+    matched = assoc >= 0
+    slot = jnp.where(matched, assoc, 0)
+    offset = (jnp.cumsum(is_new.astype(jnp.int32))
+              - is_new.astype(jnp.int32))
+    slot_new = state.n + offset
+    ok = is_new & (slot_new < L)
+
+    assert _fused_tiling(P, L, K) is not None
+
+    got_seg = fs1_update_tpu(state, z, slot, matched, slot_new, ok,
+                             jnp.asarray(R), interpret=True,
+                             tiling=(128, 4))
+    got_one = fs1_update_tpu(state, z, slot, matched, slot_new, ok,
+                             jnp.asarray(R), interpret=True,
+                             tiling=(256, L))
+
+    J, v0, v1 = rbpf.observe_planes(state, z, slot, jnp.asarray(R))
+    logl = jnp.where(matched[:, None],
+                     log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11), 0.0)
+    want = state._replace(logw=state.logw + jnp.sum(logl, axis=0))
+    want = rbpf.update_matched_features(want, slot, matched, v0, v1, J)
+    want = rbpf.add_new_features(want, z, ids, is_new, jnp.asarray(R))
+
+    for got, tag in ((got_seg, "segmented"), (got_one, "single")):
+        np.testing.assert_allclose(np.asarray(got.logw),
+                                   np.asarray(want.logw), rtol=1e-4,
+                                   atol=1e-5, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(got.lm),
+                                   np.asarray(want.lm), rtol=1e-4,
+                                   atol=1e-5, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(got.lm_P),
+                                   np.asarray(want.lm_P), rtol=1e-3,
+                                   atol=1e-5, err_msg=tag)
+
+
 def test_fs2_refine_kernel_matches_jnp():
     """Fused FS2 proposal refinement == the sequential jnp fori_loop
     (_refine_proposal), including unmatched-slot pass-through."""
