@@ -136,8 +136,15 @@ def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16,
     import jax
     from slam_tpu.runtime import Runner
     cfg, slam_map = load_workload()
+    est = None
+    if method == "FASTSLAM1":
+        # Deferred-resample FS1 (round 5): the resample permutation is
+        # applied inside the fused update kernel's single state pass —
+        # no cond operand copies, no standalone gather pass.
+        from slam_tpu.models.fastslam1 import FastSlam1Deferred
+        est = FastSlam1Deferred(cfg, slam_map.n_landmarks)
     runner = Runner(cfg, slam_map, method, n_particles=n_particles,
-                    rng_impl="rbg")
+                    rng_impl="rbg", estimator=est)
     period = cfg.steps_per_observe
     n_ticks = n_supersteps * period
     try:

@@ -114,33 +114,49 @@ def fs1_update(state: ParticleState, key, z, ids, zmask, R, n_min,
 def deferred_resample_bounds(logw, key, n_min, do_resample):
     """Neff-gated stratified resample DECISION as offspring bounds:
     returns (S [P] int32 — identity arange(1, P+1) when the gate does
-    not fire — and the new log-weights). The permutation encoded by S
-    is NOT applied here; the landmark planes are permuted inside the
-    next superstep's fused update kernel (fs1_resample_update_tpu),
-    and the caller eagerly permutes only the small pose rows.
-    Branchless by design: no lax.cond means no operand copies of the
-    big planes into a conditional (the round-4 trace's 2.5 ms/superstep
-    `copy.*` HLOs; BENCH_NOTES)."""
+    not fire — the per-block kernel metadata, the fired flag, and the
+    new log-weights). The permutation encoded by S is NOT applied here;
+    the landmark planes are permuted inside the next superstep's fused
+    update kernel (fs1_resample_update_tpu), and the caller eagerly
+    permutes only the small pose rows. The bounds computation and the
+    metadata searchsorteds run under the gate's lax.cond — its operands
+    are [P] vectors, so the conditional costs microseconds, unlike the
+    round-4 resample cond whose landmark-plane operands copied
+    2.5 ms/superstep (BENCH_NOTES)."""
     from slam_tpu.ops import resampling as rs
+    from slam_tpu.ops.pallas.kernels import (
+        deferred_bounds_meta,
+        identity_bounds_meta,
+    )
 
     n = logw.shape[-1]
     logw_n = rs.normalize_log_weights(logw)
     neff = jnp.exp(-jax.scipy.special.logsumexp(2.0 * logw_n, axis=-1))
     need = jnp.asarray(do_resample) & (neff < n_min)
 
-    csum = rs._cumsum_2d(jnp.exp(logw_n))
-    S_fire = rs.offspring_bounds(key, csum, n)
-    identity = jnp.arange(1, n + 1, dtype=jnp.int32)
-    S = jnp.where(need, S_fire, identity)
+    def fire():
+        csum = rs._cumsum_2d(jnp.exp(logw_n))
+        S = rs.offspring_bounds(key, csum, n)
+        return (S,) + deferred_bounds_meta(S)
+
+    def skip():
+        return (jnp.arange(1, n + 1, dtype=jnp.int32),
+                ) + identity_bounds_meta(n)
+
+    S, lo, nch, ident = jax.lax.cond(need, fire, skip)
     uniform = jnp.full_like(logw_n, -jnp.log(jnp.float32(n)))
-    return S, jnp.where(need, uniform, logw_n)
+    return S, (lo, nch, ident), need, jnp.where(need, uniform, logw_n)
 
 
 class DeferredState(NamedTuple):
     """FastSlam1Deferred carry: particle state whose landmark planes
-    are PRE-permutation, plus the pending offspring bounds."""
+    are PRE-permutation, plus the pending offspring bounds and their
+    per-block kernel metadata."""
     ps: ParticleState
     S: jnp.ndarray      # [P] int32 pending offspring bounds
+    lo: jnp.ndarray     # [nb] int32 window starts
+    nch: jnp.ndarray    # [nb] int32 chunks per block
+    ident: jnp.ndarray  # [nb] int32 identity-block flags
 
 
 def fs1_update_deferred(dstate: DeferredState, key, z, ids, zmask, R,
@@ -168,8 +184,10 @@ def fs1_update_deferred(dstate: DeferredState, key, z, ids, zmask, R,
     slot_new = state.n + offset
     ok = is_new & (slot_new < L)
 
-    state = fs1_resample_update_tpu(state, S, z, slot, matched,
-                                    slot_new, ok, R,
+    state = fs1_resample_update_tpu(state, S,
+                                    (dstate.lo, dstate.nch,
+                                     dstate.ident),
+                                    z, slot, matched, slot_new, ok, R,
                                     interpret=interpret)
     table = state.da_table.at[
         jnp.where(ok, ids, state.da_table.shape[0])].set(
@@ -180,14 +198,28 @@ def fs1_update_deferred(dstate: DeferredState, key, z, ids, zmask, R,
     # Same key discipline as the eager path (rbpf.resample consumes the
     # update key unsplit), so both paths draw the same stratified
     # dither and pick identical ancestors.
-    S_next, new_logw = deferred_resample_bounds(
+    S_next, meta, need, new_logw = deferred_resample_bounds(
         state.logw, key, n_min, do_resample)
+    # Eager small-row permutation, fire supersteps only: the one-hot
+    # gather's cost is per (block x chunk) — row-count independent —
+    # so running it branchlessly on identity bounds cost a measured
+    # 2.5 ms/superstep for 9 rows. The cond's [9, P] operands copy in
+    # ~0.1 ms.
+    # (512, 768) is the swept optimum for the bounds gather: per-visit
+    # DMA latency dominates, and chunk > block makes nch == 1 for
+    # nearly every block (round-5 on-chip sweep: 2.5 ms vs 3.9 at
+    # (512,512), 5.5 at (1024,1024) for these 9 rows).
     small = jnp.concatenate([state.xv, state.Pv], axis=0)    # [9, P]
-    small_g = bounds_gather_multi([small], S_next,
-                                  interpret=interpret)[0]
+    small_g = jax.lax.cond(
+        need,
+        lambda sm: bounds_gather_multi([sm], S_next,
+                                       interpret=interpret)[0],
+        lambda sm: sm,
+        small)
     state = state._replace(logw=new_logw, xv=small_g[:3],
                            Pv=small_g[3:9])
-    return DeferredState(ps=state, S=S_next)
+    return DeferredState(ps=state, S=S_next, lo=meta[0], nch=meta[1],
+                         ident=meta[2])
 
 
 def finalize_deferred(dstate: DeferredState,
@@ -291,12 +323,15 @@ class FastSlam1Deferred(FastSlam1):
             interpret=interpret))
 
     def init(self, n_particles: int | None = None) -> DeferredState:
+        from slam_tpu.ops.pallas.kernels import identity_bounds_meta
         ps = super().init(n_particles)
         P = ps.n_particles
         assert P % 512 == 0, \
             "deferred resampling needs kernel-tileable P"
+        lo, nch, ident = identity_bounds_meta(P)
         return DeferredState(
-            ps=ps, S=jnp.arange(1, P + 1, dtype=jnp.int32))
+            ps=ps, S=jnp.arange(1, P + 1, dtype=jnp.int32),
+            lo=lo, nch=nch, ident=ident)
 
     def predict(self, state: DeferredState, key, vn, gn, phi_true
                 ) -> DeferredState:

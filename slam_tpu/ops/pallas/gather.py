@@ -522,12 +522,28 @@ def _bounds_gather_impl(arrays, S, block: int = 512, chunk: int = 768,
     arrays = [_row_pad(a) for a in arrays]
     Cs = tuple(a.shape[0] for a in arrays)
 
-    # First/last owning ancestor per output block: rank of the block
-    # edges in S (idx_j = #{i : S_i <= j}).
-    first = jnp.searchsorted(S, jnp.arange(nb, dtype=jnp.int32) * B,
-                             side="right").astype(jnp.int32)
-    last = jnp.searchsorted(S, jnp.arange(nb, dtype=jnp.int32) * B
-                            + (B - 1), side="right").astype(jnp.int32)
+    # First/last owning ancestor per output block: CONSERVATIVE rank
+    # bounds of the block edges in S from a stride-subsampled all-pairs
+    # comparison (exact-rank jnp.searchsorted costs ~0.7 ms/call at 1M
+    # in ~20 serialized gather rounds; a window that starts early/ends
+    # late is correct — the offspring-bound one-hot claims nothing
+    # outside the true [first, last]).
+    N2 = S2.shape[0]
+    stride = LANE
+    sub = S2[stride - 1::stride] if N2 % stride == 0 else None
+    edges = jnp.arange(nb, dtype=jnp.int32) * B
+    if sub is not None:
+        first = jnp.sum((sub[None, :] <= edges[:, None]
+                         ).astype(jnp.int32), axis=1) * stride
+        last = jnp.minimum(
+            jnp.sum((sub[None, :] <= edges[:, None] + (B - 1)
+                     ).astype(jnp.int32), axis=1) * stride
+            + (stride - 1), N2 - 1)
+    else:
+        first = jnp.searchsorted(S2, edges,
+                                 side="right").astype(jnp.int32)
+        last = jnp.searchsorted(S2, edges + (B - 1),
+                                side="right").astype(jnp.int32)
     lo = (first // LANE) * LANE
     nch = (last - lo) // chunk + 1
 

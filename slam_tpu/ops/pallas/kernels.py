@@ -569,7 +569,7 @@ def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
                      dlogw_ref, lmo_ref, lmPo_ref,
                      win, mwin, gath, sem,
                      *, L: int, Lseg: int, K: int, B: int, chunk: int,
-                     Plim: int):
+                     Plim: int, int8: bool = True):
     """Fused FS1 observation update where the landmark planes are read
     THROUGH the pending resample permutation: per (lane block x landmark
     segment), DMA the ancestor window of the PRE-resample state, select
@@ -605,18 +605,29 @@ def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
     def copies(b_lo, c, seg, s_idx):
         col = pl.multiple_of(jnp.minimum(b_lo + c * chunk, Plim), LANE)
         dmas = []
-        for g in range(2):
+        if Lseg == L:
+            # Unsegmented: each plane stack's rows are contiguous —
+            # one DMA per stack (per-block DMA issue latency is a
+            # first-order cost at 1k+ grid programs).
             dmas.append(pltpu.make_async_copy(
-                lm_hbm.at[pl.ds(g * L + seg * Lseg, Lseg),
-                          pl.ds(col, chunk)],
-                win.at[s_idx, pl.ds(g * Lseg, Lseg)],
-                sem.at[s_idx, g]))
-        for g in range(3):
+                lm_hbm.at[:, pl.ds(col, chunk)],
+                win.at[s_idx, pl.ds(0, 2 * L)], sem.at[s_idx, 0]))
             dmas.append(pltpu.make_async_copy(
-                lmP_hbm.at[pl.ds(g * L + seg * Lseg, Lseg),
-                           pl.ds(col, chunk)],
-                win.at[s_idx, pl.ds((2 + g) * Lseg, Lseg)],
-                sem.at[s_idx, 2 + g]))
+                lmP_hbm.at[:, pl.ds(col, chunk)],
+                win.at[s_idx, pl.ds(2 * L, 3 * L)], sem.at[s_idx, 1]))
+        else:
+            for g in range(2):
+                dmas.append(pltpu.make_async_copy(
+                    lm_hbm.at[pl.ds(g * L + seg * Lseg, Lseg),
+                              pl.ds(col, chunk)],
+                    win.at[s_idx, pl.ds(g * Lseg, Lseg)],
+                    sem.at[s_idx, g]))
+            for g in range(3):
+                dmas.append(pltpu.make_async_copy(
+                    lmP_hbm.at[pl.ds(g * L + seg * Lseg, Lseg),
+                               pl.ds(col, chunk)],
+                    win.at[s_idx, pl.ds((2 + g) * Lseg, Lseg)],
+                    sem.at[s_idx, 2 + g]))
         dmas.append(pltpu.make_async_copy(
             meta_hbm.at[:, pl.ds(col, chunk)], mwin.at[s_idx],
             sem.at[s_idx, 5]))
@@ -652,28 +663,34 @@ def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         pos = i * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
-        def onehot_t(c, s_idx):
+        def onehot_t(c, s_idx, masked):
             # Window lane r is ancestor g = start + r; it owns output
             # j iff Sm1[g] <= j < S[g]; `own` masks lanes to the chunk
-            # owning them under the unclamped partition (clamped
-            # windows overlap their predecessor).
-            off = pl.multiple_of(jnp.minimum(lo + c * chunk, Plim),
-                                 LANE) - lo
-            own = ((rows1 + off >= c * chunk)
-                   & (rows1 + off < (c + 1) * chunk))
+            # owning them under the unclamped partition — needed ONLY
+            # for extra chunks (clamped windows overlap their
+            # predecessor; chunk 0 never clamps since lo <= Plim).
             sm1 = mwin[s_idx, 0:1, :]
             s_hi = mwin[s_idx, 1:2, :]
-            return (sm1 <= pos) & (pos < s_hi) & own
+            oh = (sm1 <= pos) & (pos < s_hi)
+            if masked:
+                off = pl.multiple_of(
+                    jnp.minimum(lo + c * chunk, Plim), LANE) - lo
+                own = ((rows1 + off >= c * chunk)
+                       & (rows1 + off < (c + 1) * chunk))
+                oh = oh & own
+            return oh
 
-        from slam_tpu.ops.pallas.gather import _select_int8
+        from slam_tpu.ops.pallas.gather import _select, _select_int8
 
         @pl.when(nch > 1)
         def _():
             for dma in copies(lo, 1, s, 2):
                 dma.start()
 
-        acc = _select_int8(win[slot], onehot_t(0, slot),
-                           transposed=True)
+        select = _select_int8 if int8 else _select
+        combine = (jnp.bitwise_or if int8 else jnp.add)
+        acc = select(win[slot], onehot_t(0, slot, False),
+                     transposed=True)
 
         def extra(c, acc):
             s_c = 2 + jax.lax.rem(c - 1, 2)
@@ -686,11 +703,14 @@ def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
 
             for dma in copies(lo, c, s, s_c):
                 dma.wait()
-            return acc | _select_int8(win[s_c], onehot_t(c, s_c),
-                                      transposed=True)
+            return combine(acc, select(win[s_c],
+                                       onehot_t(c, s_c, True),
+                                       transposed=True))
 
         acc = jax.lax.fori_loop(1, nch, extra, acc)
-        gath[:, :] = jax.lax.bitcast_convert_type(acc, jnp.float32)
+        if int8:
+            acc = jax.lax.bitcast_convert_type(acc, jnp.float32)
+        gath[:, :] = acc
 
     # ---- kernel-4 update body on the permuted values ----
     s_lo = s * Lseg
@@ -786,42 +806,113 @@ def _deferred_tiling(P: int, L: int, K: int, block: int, chunk: int
     return best8 or best
 
 
+# Lane-block size shared by the deferred kernel and the metadata
+# producer (slam_tpu.models.fastslam1.deferred_resample_bounds).
+# chunk > block: most fire blocks then need a single window chunk
+# (per-visit DMA latency dominates the selection — same sweep result
+# as the standalone bounds gather); identity blocks slice their B
+# columns out of the wider window at a dynamic LANE-aligned offset.
+DEFERRED_BLOCK = 512
+DEFERRED_CHUNK = 768
+
+
+def deferred_tile_params(P: int) -> tuple[int, int]:
+    """(block, chunk) for the deferred kernel at particle count P —
+    shared by the kernel wrapper and the metadata producer (their
+    per-block vectors must agree). Small P (tests) shrink both."""
+    B = DEFERRED_BLOCK
+    while B > LANE and P % B:
+        B //= 2
+    chunk = DEFERRED_CHUNK if P >= DEFERRED_CHUNK else B
+    return B, chunk
+
+
+def deferred_bounds_meta(S, block: int | None = None,
+                         chunk: int | None = None,
+                         stride: int = LANE):
+    """Per-lane-block gather metadata for the deferred kernel:
+    (lo, nch, ident), each [P // block] int32.
+
+    The first/last owning ancestor per block is bounded CONSERVATIVELY
+    from a stride-subsampled S via an all-pairs comparison (a
+    [nb, P/stride] bool sum — tens of microseconds on the VPU) instead
+    of jnp.searchsorted, whose ~20 serialized gather rounds cost
+    ~0.7 ms per call at P = 1M. A window that starts up to `stride`
+    early / ends late is CORRECT (the kernel's offspring-bound one-hot
+    claims nothing outside [first, last]); identity blocks get their
+    exact window so the fast path's column arithmetic holds. Callers
+    run this under the resample gate's lax.cond."""
+    P = S.shape[0]
+    dB, dC = deferred_tile_params(P)
+    block = block or dB
+    chunk = chunk or dC
+    nb = P // block
+    Sm1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), S[:-1]])
+    ar = jnp.arange(P, dtype=jnp.int32)
+    # Output j's ancestor is j iff Sm1[j] <= j < S[j]; a block is
+    # identity iff that holds for every j in it.
+    e = (Sm1 <= ar) & (S > ar)
+    ident = jnp.all(e.reshape(nb, block), axis=1)
+
+    # Coarse rank of the block edges in S: S_sub[s] = S[stride*(s+1)-1]
+    # (the max of subgroup s), so #{s : S_sub[s] < t} * stride is a
+    # lower bound on first = #{i : S_i <= t-1}, tight within `stride`.
+    S_sub = S[stride - 1::stride]                       # [P // stride]
+    edges = jnp.arange(nb, dtype=jnp.int32) * block
+    lt = (S_sub[None, :] <= edges[:, None]).astype(jnp.int32)
+    first_lb = jnp.sum(lt, axis=1) * stride             # <= true first
+    le = (S_sub[None, :] <= edges[:, None] + (block - 1)
+          ).astype(jnp.int32)
+    last_ub = jnp.minimum(jnp.sum(le, axis=1) * stride + (stride - 1),
+                          P - 1)                        # >= true last
+    lo = (first_lb // LANE) * LANE
+    lo = jnp.where(ident, edges, lo)
+    nch = jnp.where(ident, 1, (last_ub - lo) // chunk + 1)
+    return lo, nch, ident.astype(jnp.int32)
+
+
+def identity_bounds_meta(P: int, block: int | None = None):
+    """deferred_bounds_meta of the identity permutation (constants)."""
+    block = block or deferred_tile_params(P)[0]
+    nb = P // block
+    return (jnp.arange(nb, dtype=jnp.int32) * block,
+            jnp.ones((nb,), jnp.int32),
+            jnp.ones((nb,), jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block",
-                                             "chunk", "lseg"))
-def fs1_resample_update_tpu(state, S, z, slot, matched, slot_new,
-                            ok_new, R, block: int = 512,
-                            chunk: int = 512,
+                                             "chunk", "lseg", "int8"))
+def fs1_resample_update_tpu(state, S, meta_blocks, z, slot, matched,
+                            slot_new, ok_new, R,
+                            block: int | None = None,
+                            chunk: int | None = None,
                             lseg: int | None = None,
+                            int8: bool = True,
                             interpret: bool = False):
     """Fused resample + FS1 observation update: applies the PENDING
     ancestor permutation encoded by offspring bounds ``S`` [P]
     (slam_tpu.ops.resampling.offspring_bounds; identity = arange(1,P+1))
     to the landmark planes while computing the full observation update
-    — one state pass total. The pose/weight rows must already be
+    — one state pass total. ``meta_blocks`` = (lo, nch, ident) from
+    deferred_bounds_meta(S). The pose/weight rows must already be
     permuted by the caller (they are consumed by predict before this
     kernel runs). Semantics: fs1_update_tpu(gather_by(S) applied first).
     """
     P = state.n_particles
     L = state.capacity
     K = z.shape[0]
+    dB, dC = deferred_tile_params(P)
+    block = block or dB
+    chunk = chunk or dC
     B = block
     Lseg = lseg or _deferred_tiling(P, L, K, block, chunk)
     assert Lseg is not None, (P, L, K, block, chunk)
 
     S = S.astype(jnp.int32)
     Sm1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), S[:-1]])
-    ar = jnp.arange(P, dtype=jnp.int32)
-    # Output j's ancestor is j iff Sm1[j] <= j < S[j]; a block is
-    # identity iff that holds for every j in it.
-    e = (Sm1 <= ar) & (S > ar)
+    lo, nch, ident = meta_blocks
     nb = P // B
-    ident = jnp.all(e.reshape(nb, B), axis=1).astype(jnp.int32)
-    edges = jnp.arange(nb, dtype=jnp.int32) * B
-    first = jnp.searchsorted(S, edges, side="right").astype(jnp.int32)
-    last = jnp.searchsorted(S, edges + (B - 1),
-                            side="right").astype(jnp.int32)
-    lo = (first // LANE) * LANE
-    nch = (last - lo) // chunk + 1
+    assert lo.shape[0] == nb, (lo.shape, nb)
     meta = jnp.stack([Sm1, S])                               # [2, P]
 
     lm2 = state.lm.reshape(2 * L, P)
@@ -838,7 +929,7 @@ def fs1_resample_update_tpu(state, S, z, slot, matched, slot_new,
     Plim = P - chunk
     dlogw, lm_o, lmP_o = pl.pallas_call(
         functools.partial(_deferred_kernel, L=L, Lseg=Lseg, K=K, B=B,
-                          chunk=chunk, Plim=Plim),
+                          chunk=chunk, Plim=Plim, int8=int8),
         grid=(nb, L // Lseg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # lo

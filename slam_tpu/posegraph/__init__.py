@@ -10,9 +10,11 @@ from slam_tpu.posegraph.ba import (
     BAProblem,
     problem_from_run,
     solve_ba,
+    solve_ba_device,
 )
 
-__all__ = ["BAProblem", "problem_from_run", "solve_ba"]
+__all__ = ["BAProblem", "problem_from_run", "solve_ba",
+           "solve_ba_device"]
 
 from slam_tpu.posegraph.distributed import solve_ba_sharded  # noqa: E402
 

@@ -319,6 +319,78 @@ def solve_ba(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
     return poses, landmarks
 
 
+def solve_ba_device(prob: BAProblem, iters: int = 10,
+                    damping: float = 1e-3, tol: float = 1e-8,
+                    max_retries: int = 6, return_info: bool = False):
+    """solve_ba with the ENTIRE Levenberg-Marquardt loop on device: the
+    outer accepted-step loop and the inner damping-retry loop are one
+    jitted lax.while_loop nest, so a full solve costs ONE dispatch
+    instead of two host syncs per trial (~30 ms of pure dispatch per
+    11 ms linear solve through the tunnel — the round-4 BA wall gap,
+    BENCH_NOTES). Identical trial/accept sequence to solve_ba (same
+    float comparisons on the same values — equality-tested in
+    tests/test_posegraph.py)."""
+    poses0 = jnp.asarray(prob.poses0, jnp.float32)
+    landmarks0 = jnp.asarray(prob.landmarks0, jnp.float32)
+    anchor = poses0[0]
+    static = (prob.odom, prob.odom_info, prob.z, prob.lm_idx, prob.mask,
+              prob.R, anchor)
+
+    def run(poses, landmarks, lam):
+        cost = _ba_cost(poses, landmarks, *static)
+
+        def outer_body(c):
+            poses, landmarks, cost, lam, n_acc, n_steps, done = c
+
+            # Inner damping-retry loop: keep trying (lam x10) until a
+            # trial from the SAME linearization point decreases cost.
+            def icond(ic):
+                _, _, _, _, tries, acc = ic
+                return (~acc) & (tries <= max_retries)
+
+            def ibody(ic):
+                lam_c, _, _, _, tries, _ = ic
+                tp, tl = _gn_step(poses, landmarks, *static, lam_c)
+                tc = _ba_cost(tp, tl, *static)
+                acc = jnp.isfinite(tc) & (tc <= cost)
+                lam_n = jnp.where(acc, lam_c,
+                                  jnp.minimum(lam_c * 10.0, 1e8))
+                return (lam_n, tp, tl, tc, tries + 1, acc)
+
+            lam_f, tp, tl, tc, tries, acc = jax.lax.while_loop(
+                icond, ibody,
+                (lam, poses, landmarks, jnp.float32(jnp.inf),
+                 jnp.int32(0), jnp.bool_(False)))
+
+            gain = cost - tc
+            new_poses = jnp.where(acc, tp, poses)
+            new_lms = jnp.where(acc, tl, landmarks)
+            new_cost = jnp.where(acc, tc, cost)
+            new_lam = jnp.where(acc, jnp.maximum(lam_f / 3.0, 1e-9),
+                                lam_f)
+            converged = acc & (gain <= tol * jnp.maximum(new_cost, 1.0))
+            return (new_poses, new_lms, new_cost, new_lam,
+                    n_acc + acc.astype(jnp.int32), n_steps + tries,
+                    (~acc) | converged)
+
+        def outer_cond(c):
+            *_, n_acc, _, done = c
+            return (~done) & (n_acc < iters)
+
+        return jax.lax.while_loop(
+            outer_cond, outer_body,
+            (poses, landmarks, cost, lam, jnp.int32(0), jnp.int32(0),
+             jnp.bool_(False)))
+
+    poses, landmarks, cost, lam, n_acc, n_steps, _ = jax.jit(run)(
+        poses0, landmarks0, jnp.float32(damping))
+    if return_info:
+        return poses, landmarks, {
+            "cost": float(cost), "n_steps": int(n_steps),
+            "n_accepted": int(n_acc), "final_damping": float(lam)}
+    return poses, landmarks
+
+
 def problem_from_run(result, config, slam_map=None) -> BAProblem:
     """Build a BA problem from a finished filter run: keyframes = observe
     supersteps, odometry = filter-trajectory relative transforms,

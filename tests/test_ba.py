@@ -152,3 +152,19 @@ def test_sharded_ba_matches_single_chip():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_ba_device_loop_matches_host_loop():
+    """solve_ba_device (whole LM loop as one jitted while_loop nest) ==
+    solve_ba (host accept loop): same trial/accept sequence on the same
+    floats, so the accepted-step count and the solution must agree."""
+    from slam_tpu.posegraph import solve_ba_device
+
+    prob, poses_true, lms_true = _synthetic_problem()
+    p_h, l_h, info_h = solve_ba(prob, iters=8, return_info=True)
+    p_d, l_d, info_d = solve_ba_device(prob, iters=8, return_info=True)
+    assert info_d["n_steps"] == info_h["n_steps"], (info_d, info_h)
+    np.testing.assert_allclose(np.asarray(p_d), np.asarray(p_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_h),
+                               rtol=1e-5, atol=1e-4)

@@ -39,10 +39,13 @@ def _obs_round(rng, n_map, K, t):
 
 def _run_pair(P=1024, L=16, n_map=24, K=5, rounds=4, n_min_frac=0.99,
               lseg=None, seed=7):
+    from slam_tpu.ops.pallas.kernels import identity_bounds_meta
     rng = np.random.default_rng(seed)
     state_e = _mk_state(P, L, n_map, seed=seed)
+    lo, nch, ident = identity_bounds_meta(P)
     state_d = DeferredState(
-        ps=state_e, S=jnp.arange(1, P + 1, dtype=jnp.int32))
+        ps=state_e, S=jnp.arange(1, P + 1, dtype=jnp.int32),
+        lo=lo, nch=nch, ident=ident)
     n_min = jnp.float32(n_min_frac * P)
 
     fired = 0
@@ -88,21 +91,28 @@ def _update_deferred_lseg(dstate, key, z, ids, zmask, R, n_min, lseg):
               - is_new.astype(jnp.int32))
     slot_new = state.n + offset
     ok = is_new & (slot_new < L)
-    state = fs1_resample_update_tpu(state, S, z, slot, matched,
-                                    slot_new, ok, R, lseg=lseg,
-                                    interpret=True)
+    state = fs1_resample_update_tpu(state, S,
+                                    (dstate.lo, dstate.nch,
+                                     dstate.ident),
+                                    z, slot, matched, slot_new, ok, R,
+                                    lseg=lseg, interpret=True)
     table = state.da_table.at[
         jnp.where(ok, ids, state.da_table.shape[0])].set(
         slot_new, mode="drop")
     state = state._replace(n=state.n + jnp.sum(ok, dtype=jnp.int32),
                            da_table=table)
-    S_next, new_logw = deferred_resample_bounds(
+    S_next, meta, need, new_logw = deferred_resample_bounds(
         state.logw, key, n_min, True)
     small = jnp.concatenate([state.xv, state.Pv], axis=0)
-    small_g = bounds_gather_multi([small], S_next, interpret=True)[0]
+    small_g = jax.lax.cond(
+        need,
+        lambda sm: bounds_gather_multi([sm], S_next,
+                                       interpret=True)[0],
+        lambda sm: sm, small)
     state = state._replace(logw=new_logw, xv=small_g[:3],
                            Pv=small_g[3:9])
-    return DeferredState(ps=state, S=S_next)
+    return DeferredState(ps=state, S=S_next, lo=meta[0], nch=meta[1],
+                         ident=meta[2])
 
 
 def _assert_state_close(got, want):
