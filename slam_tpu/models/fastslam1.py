@@ -312,15 +312,37 @@ class FastSlam1Deferred(FastSlam1):
     (or interpret=True for tests) and P % 512 == 0."""
 
     PREDICT_TOUCHED = ("xv",)
+    # Run-loop hint: scan two supersteps per body so the non-aliased
+    # deferred kernel's output lands back in the carry allocation
+    # (A -> B -> A) instead of forcing a per-iteration carry copy.
+    SCAN_PAIR = True
 
     def __init__(self, config: SlamConfig, n_map_landmarks: int,
-                 interpret: bool = False):
+                 interpret: bool = False, fused_predict: bool = True):
         super().__init__(config, n_map_landmarks, use_pallas=True)
         cfg = config
         self._interpret = interpret
         self._update_d = jax.jit(partial(
             fs1_update_deferred, do_resample=bool(cfg.SWITCH_RESAMPLE),
             interpret=interpret))
+        if fused_predict and jax.default_backend() == "tpu":
+            # All control ticks in one kernel pass (kernel 6). The
+            # per-tick heading Joseph observe under
+            # SWITCH_HEADING_KNOWN is an EXACT no-op for FS1 (Pv
+            # starts zero and no FS1 path ever writes a nonzero
+            # value — observe_heading_particles at Pv == 0 returns the
+            # state unchanged), so skipping it here is lossless.
+            from slam_tpu.ops.pallas.kernels import fs1_predict_multi_tpu
+            Qe = jnp.diag(jnp.asarray(cfg.Qe, jnp.float32))
+
+            def predict_multi(state, key, controls):
+                xv = fs1_predict_multi_tpu(
+                    state.ps.xv, key, controls, Qe,
+                    wheelbase=cfg.WHEELBASE, dt=cfg.DT_CONTROLS,
+                    add_noise=True)
+                return state._replace(ps=state.ps._replace(xv=xv))
+
+            self.predict_multi = jax.jit(predict_multi)
 
     def init(self, n_particles: int | None = None) -> DeferredState:
         from slam_tpu.ops.pallas.kernels import identity_bounds_meta

@@ -28,6 +28,7 @@ from slam_tpu.geometry import wrap_angle
 from slam_tpu.ops import planes as pk
 
 LANE = 128
+TILE_SUB = 8
 DEFAULT_BLOCK = None  # auto (VMEM-aware)
 # The kernels' live working set is ~42 [K, B] f32 plane-equivalents
 # (measured 18.8 MB at block=8064, K=14) including Mosaic's
@@ -36,7 +37,11 @@ DEFAULT_BLOCK = None  # auto (VMEM-aware)
 # against a 24 MB budget and raise the compiler limit accordingly
 # (live-validated at block 4096/8192 on a v5e, round 3).
 _VMEM_BUDGET_BYTES = 24 * 1024 * 1024
-_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# Allowance only (Mosaic rejects kernels above it; it allocates what
+# the kernel uses): 96 MB of the v5e core's 128 MB, matching
+# slam_tpu.ops.pallas.gather — the deferred kernel's full-10k tiling
+# measured 66.7 MB of scoped vmem against the old 64 MB cap.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 _LIVE_PLANES = 42
 
 
@@ -561,6 +566,123 @@ def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
 
 
 # ---------------------------------------------------------------------------
+# Kernel 6: fused multi-tick FS1 predict (in-kernel PRNG)
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586
+
+
+def _predict_kernel(xv_ref, ctl_ref, q_ref, seed_ref, xvo_ref,
+                    *, T: int, B: int, wheelbase: float, dt: float,
+                    add_noise: bool):
+    """All ``T`` control ticks of the FS1 motion sample in one VMEM
+    pass: per tick, two hardware-PRNG normal draws (Box-Muller) feed
+    the control-noise Cholesky, then the bicycle step — the pose planes
+    cross HBM once per SUPERSTEP instead of once per tick, and the
+    ~12-op per-tick XLA dispatch chain (measured ~2.9 ms per 1M-lane
+    superstep against a ~0.6 ms compute bound) collapses into one
+    kernel. Replaces predictState x T (fastslam1.cpp:37-54)."""
+    if add_noise:
+        # Mosaic takes at most 2 seed words; mix the block id into the
+        # first so every lane block draws a distinct stream.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    # Blocks come in sublane-blocked [3, 8, B/8] form: a [1, B] pose
+    # row would run in the T(1, 128) layout at 1/8 VPU width (the
+    # round-4 predict-layout lesson; see models.rbpf.tile_shape).
+    SB = B // TILE_SUB
+    x = xv_ref[0]
+    y = xv_ref[1]
+    th = xv_ref[2]
+    l00, l10, l11 = q_ref[0, 0], q_ref[0, 1], q_ref[0, 2]
+    inv24 = jnp.float32(2.0 ** -24)
+    for t in range(T):
+        vn = ctl_ref[t, 0]
+        gn = ctl_ref[t, 1]
+        if add_noise:
+            # prng_random_bits yields SIGNED int32 — bitcast before
+            # shifting or the arithmetic shift sign-extends half the
+            # draws negative (log of a negative -> NaN).
+            b0 = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
+            b1 = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
+            # u1 in (0, 1] (never 0 for the log), u2 in [0, 1). The
+            # 24-bit values are sign-bit-clear, so the uint32->int32
+            # bitcast is value-preserving (Mosaic has no uint->float
+            # cast).
+            u1 = jax.lax.bitcast_convert_type(
+                (b0 >> 8) + 1, jnp.int32).astype(jnp.float32) * inv24
+            u2 = jax.lax.bitcast_convert_type(
+                b1 >> 8, jnp.int32).astype(jnp.float32) * inv24
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            e0 = r * jnp.cos(_TWO_PI * u2)
+            e1 = r * jnp.sin(_TWO_PI * u2)
+            V = vn + l00 * e0
+            G = gn + l10 * e0 + l11 * e1
+        else:
+            V = jnp.full((TILE_SUB, SB), vn, jnp.float32)
+            G = jnp.full((TILE_SUB, SB), gn, jnp.float32)
+        x = x + V * dt * jnp.cos(G + th)
+        y = y + V * dt * jnp.sin(G + th)
+        th = wrap_angle(th + V * dt * jnp.sin(G) / wheelbase)
+    xvo_ref[0] = x
+    xvo_ref[1] = y
+    xvo_ref[2] = th
+
+
+@functools.partial(jax.jit, static_argnames=("wheelbase", "dt",
+                                             "add_noise", "interpret"))
+def fs1_predict_multi_tpu(xv, key, controls, Q, *, wheelbase: float,
+                          dt: float, add_noise: bool = True,
+                          interpret: bool = False):
+    """T control ticks of the FS1 predict in one kernel call.
+
+    ``controls``: [T, 2] (v_nominal, g_nominal) per tick. The noise
+    stream is the TPU hardware PRNG seeded from ``key`` (a different,
+    statistically equivalent stream to the jnp path's threefry/rbg
+    draws — moment-tested on chip in tools/smoke_predict.py)."""
+    P = xv.shape[1]
+    T = controls.shape[0]
+    B = 65536
+    while B > TILE_SUB and P % B:
+        B //= 2
+    assert P % B == 0 and B % TILE_SUB == 0, (P, B)
+    SB = B // TILE_SUB
+    Q = jnp.asarray(Q, jnp.float32)
+    Lq = jnp.linalg.cholesky(Q + 1e-20 * jnp.eye(2, dtype=Q.dtype))
+    q_row = jnp.stack([Lq[0, 0], Lq[1, 0], Lq[1, 1]]).reshape(1, 3)
+    kd = jax.random.key_data(key).ravel().astype(jnp.uint32)
+    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+
+    # Sublane-blocked view [3, 8, P/8] (free row-major bitcast): each
+    # pose row runs as full (8, 128) VPU tiles instead of T(1, 128).
+    xv3 = xv.reshape(3, TILE_SUB, P // TILE_SUB)
+    out = pl.pallas_call(
+        functools.partial(_predict_kernel, T=T, B=B,
+                          wheelbase=wheelbase, dt=dt,
+                          add_noise=add_noise),
+        grid=(P // B,),
+        in_specs=[
+            pl.BlockSpec((3, TILE_SUB, SB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # controls
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),           # chol(Q)
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
+        ],
+        out_specs=pl.BlockSpec((3, TILE_SUB, SB),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, TILE_SUB, P // TILE_SUB),
+                                       jnp.float32),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(xv3, controls.astype(jnp.float32), q_row, seed)
+    return out.reshape(3, P)
+
+
+# ---------------------------------------------------------------------------
 # Kernel 5: fused resample + update (deferred ancestor permutation)
 # ---------------------------------------------------------------------------
 
@@ -785,17 +907,22 @@ def _deferred_tiling(P: int, L: int, K: int, block: int, chunk: int
                      ) -> int | None:
     """Landmark segment size for the deferred kernel, or None when the
     deferred path cannot run. Working set adds the 4-slot DMA window
-    (5*Lseg x chunk) and the gathered scratch to kernel 4's budget."""
+    (5*Lseg x chunk) and the gathered scratch to kernel 4's budget;
+    the 3/2 factor covers Mosaic's selection temporaries (int8 byte
+    planes + int32 accumulators), calibrated against the compiler's
+    scoped-vmem accounting at the full-10k point (66.7 MB measured for
+    a 46.8 MB naive estimate, round 5)."""
     if P % LANE != 0 or P % block != 0 or P < chunk or chunk < block:
         return None
     budget = _VMEM_BUDGET_BYTES * 2
 
     def fits(Lseg):
-        return 4 * (block * (10 * Lseg + _TEMP_K_PLANES * K
-                             + _TEMP_MISC_LANES)
-                    + 4 * 5 * Lseg * chunk      # window slots
-                    + 5 * Lseg * block          # gath scratch
-                    + 4 * K * Lseg) <= budget
+        est = 4 * (block * (10 * Lseg + _TEMP_K_PLANES * K
+                            + _TEMP_MISC_LANES)
+                   + 4 * 5 * Lseg * chunk       # window slots
+                   + 5 * Lseg * block           # gath scratch
+                   + 4 * K * Lseg)
+        return est * 3 // 2 <= budget
 
     best, best8 = None, None
     for d in range(1, L + 1):

@@ -384,7 +384,7 @@ def _augment_local(state: ShardedEKFState, z, ids, is_new, Re,
         jnp.stack([jnp.zeros_like(r), jnp.ones_like(r), r * cg], -1),
     ], -2)                                                 # [K, 2, 3]
 
-    def do_add(state):
+    def augment(state):
         x = state.x.at[3 + flat_cols].set(xf.reshape(-1), mode="drop")
 
         # Cross rows vs existing state: B_i = Gv_i [P00 | P0m].
@@ -401,14 +401,11 @@ def _augment_local(state: ShardedEKFState, z, ids, is_new, Re,
         local_r = flat_cols - row_lo                       # [2K]
         ok_row = (local_r >= 0) & (local_r < rows)
         row_idx = jnp.where(ok_row, local_r, rows)         # OOB drop
-        Pmm = state.Pmm.at[row_idx, :].set(Bm.reshape(2 * K, N2),
-                                           mode="drop")
         # Columns on every shard's slab: the transpose of Bm
         # restricted to local rows.
         Bm_locT = Bm.reshape(2 * K, N2).T                  # [2L, 2K]
         Bm_loc = lax.dynamic_slice(Bm_locT, (row_lo, 0),
                                    (rows, 2 * K))
-        Pmm = Pmm.at[:, flat_cols].set(Bm_loc, mode="drop")
 
         # New-new blocks: Gv_i P00 Gv_j' + diag(Gz R Gz').
         NN = jnp.einsum("kab,bc,ldc->kald", Gv, state.P00, Gv,
@@ -417,16 +414,38 @@ def _augment_local(state: ShardedEKFState, z, ids, is_new, Re,
                           jnp.asarray(Re, dtype), Gz,
                           precision=_HIGHEST)
         NN = NN.at[jnp.arange(K), :, jnp.arange(K), :].add(diag)
-        Pmm = Pmm.at[row_idx[:, None], flat_cols[None, :]].set(
-            NN.reshape(2 * K, 2 * K), mode="drop")
+
+        # One-hot MXU placement instead of row/column scatters: the
+        # COLUMN scatter lowers to transpose-relayout copies (~5 full
+        # covariance passes — the 15 ms/firing reshape.713/copy.297
+        # chain in artifacts/trace_ekf10k_r05); expressed as matmuls
+        # against one-hot selectors the whole augment is one fused
+        # elementwise pass over Pmm plus two [rows, 2K] x [2K, 2L]
+        # contractions (~77 MFLOP-scale at K = 96, L = 10k). HIGHEST
+        # precision with an exactly-representable 0/1 operand places
+        # the values bit-exactly.
+        E = (row_idx[:, None] == jnp.arange(rows)[None, :]
+             ).astype(dtype)                               # [2K, rows]
+        F = (flat_cols[:, None] == jnp.arange(N2)[None, :]
+             ).astype(dtype)                               # [2K, 2L]
+        keep_r = 1.0 - jnp.sum(E, axis=0)                  # [rows]
+        keep_c = 1.0 - jnp.sum(F, axis=0)                  # [2L]
+        Bfull = Bm.reshape(2 * K, N2)
+        NNF = jnp.matmul(NN.reshape(2 * K, 2 * K), F,
+                         precision=_HIGHEST)               # [2K, 2L]
+        Pmm = (state.Pmm * (keep_r[:, None] * keep_c[None, :])
+               + jnp.matmul(E.T, Bfull * keep_c[None, :] + NNF,
+                            precision=_HIGHEST)
+               + jnp.matmul(Bm_loc * keep_r[:, None], F,
+                            precision=_HIGHEST))
         return state._replace(x=x, P0m=P0m, Pmm=Pmm)
 
-    # The Pmm column scatter above forces XLA into transpose-relayout
-    # copies (~5 full-covariance passes, ~20 ms at L = 10k) — run the
-    # plane writes only when a new landmark actually appeared (`ok` is
-    # replicated, so the branch is taken collectively); the count and
-    # id table always advance.
-    state = jax.lax.cond(jnp.any(ok), do_add, lambda s: s, state)
+    # Cond-gated: the conditional costs one full-covariance operand
+    # copy per superstep (copy.469 = 4.9 ms at L = 10k), but the
+    # branchless variant was measured SLOWER (287 vs 323 steps/s) —
+    # the two one-hot placement contractions are ~76 GMAC each at
+    # HIGHEST precision and, unconditionally, outweigh the copy.
+    state = jax.lax.cond(jnp.any(ok), augment, lambda s: s, state)
     n = state.n + jnp.sum(ok, dtype=jnp.int32)
     table = state.da_table.at[
         jnp.where(ok, ids, state.da_table.shape[0])].set(slot,
@@ -445,6 +464,12 @@ class ShardedEkfSlam:
 
     PREDICT_TOUCHED = ("x", "P00", "P0m", "Pmm")
     IS_EKF = True
+    # Two supersteps per scan body: the batch update writes Pmm into a
+    # fresh buffer, so a 1-superstep body pays a full-covariance carry
+    # copy every iteration (copy.484 = 4.9 ms/superstep at L = 10k in
+    # artifacts/trace_ekf10k_r05); with A -> B -> A the second
+    # update's output lands back in the carry allocation.
+    SCAN_PAIR = True
 
     def __init__(self, config, n_map_landmarks: int, mesh: Mesh):
         self.config = config

@@ -100,9 +100,21 @@ def run_config5(n_particles: int = 1_000_000,
     n_p, n_l = mesh_shape
     devs = list(devices if devices is not None
                 else jax.devices()[: n_p * n_l])
-    mesh2d = make_mesh_2d(n_p, n_l, devices=devs)
-    est = LandmarkShardedFastSlam1(cfg, slam_map.n_landmarks, mesh2d,
-                                   n_particles=n_particles)
+    if (n_p, n_l) == (1, 1) and jax.default_backend() == "tpu" \
+            and n_particles % 512 == 0:
+        # Single chip: the deferred-resample estimator (kernel 5) —
+        # the resample permutation rides the fused update's one state
+        # pass, so the full-10k capacity point needs 2x state (in+out
+        # buffers) instead of 3x (state + grouped-gather outputs +
+        # their concatenation), which is what OOM'd 32k particles in
+        # round 4. Multi-chip meshes keep the shard_map estimator.
+        from slam_tpu.models.fastslam1 import FastSlam1Deferred
+        est = FastSlam1Deferred(cfg, slam_map.n_landmarks)
+    else:
+        mesh2d = make_mesh_2d(n_p, n_l, devices=devs)
+        est = LandmarkShardedFastSlam1(cfg, slam_map.n_landmarks,
+                                       mesh2d,
+                                       n_particles=n_particles)
     runner = Runner(cfg, slam_map, "FASTSLAM1", estimator=est,
                     n_particles=n_particles, rng_impl=rng_impl)
     n_ticks = n_supersteps * cfg.steps_per_observe

@@ -110,6 +110,9 @@ class Runner:
         period = self.config.steps_per_observe
         ekf = getattr(self.est, "IS_EKF", False)
 
+        if hasattr(self.est, "predict_multi") and not ekf:
+            return self._superstep_multi(carry)
+
         def tick(c, _):
             sim_state, est_state, key, dr = c
             sim_state, controls = self.sim.control_step(sim_state)
@@ -163,12 +166,95 @@ class Runner:
                dr)
         return (sim_state, est_state, key), out
 
+    def _superstep_multi(self, carry):
+        """Superstep for estimators exposing ``predict_multi``: the
+        control ticks run sim-only (collecting the per-tick nominal
+        controls), then ONE fused predict call advances all particles
+        through every tick — the per-tick [3, P] HBM round trips and
+        XLA dispatch chains collapse into a single kernel
+        (slam_tpu.ops.pallas.kernels.fs1_predict_multi_tpu)."""
+        sim_state, est_state, key = carry
+        period = self.config.steps_per_observe
+
+        def tick(c, _):
+            sim_state, dr = c
+            sim_state, controls = self.sim.control_step(sim_state)
+            from slam_tpu.sim.vehicle import predict_true_position
+            dr = predict_true_position(dr, controls.v_noisy,
+                                       controls.g_noisy,
+                                       self.config.WHEELBASE,
+                                       self.config.DT_CONTROLS)
+            return (sim_state, dr), (controls.v_noisy,
+                                     controls.g_noisy)
+
+        dr0 = jnp.zeros(3, dtype=jnp.float32)
+        (sim_state, dr), (vs, gs) = jax.lax.scan(
+            tick, (sim_state, dr0), None, length=period)
+        key, sub = jax.random.split(key)
+        est_state = self.est.predict_multi(
+            est_state, sub, jnp.stack([vs, gs], axis=1))
+
+        sim_state, obs = self.sim.observe_step(sim_state)
+        key, sub = jax.random.split(key)
+        est_state = self.est.update(est_state, sub, obs.z, obs.ids,
+                                    obs.mask)
+        out = (sim_state.vehicle.pose,
+               self.est.pose(est_state),
+               ~sim_state.vehicle.done,
+               obs.count,
+               jnp.sum(jnp.where(obs.mask, obs.z[:, 0], 0.0)),
+               obs.z,
+               obs.mask,
+               obs.ids,
+               dr)
+        return (sim_state, est_state, key), out
+
     def _build(self, n_supersteps: int):
+        if getattr(self.est, "SCAN_PAIR", False) and n_supersteps >= 2:
+            # TWO supersteps per scan body. An XLA while-loop pins each
+            # carry buffer to one allocation; a body whose update kernel
+            # writes a FRESH buffer (the deferred-resample kernel reads
+            # the old state through a permutation, so it cannot alias)
+            # forces a full copy back into the carry allocation every
+            # iteration — measured 2.55 ms/superstep at 1M particles
+            # (copy.357/358 in the round-5 scan trace). With two
+            # supersteps per body the state flows A -> B -> A: the
+            # second kernel's output lands back in the carry allocation
+            # (A is dead once the first kernel has read it) and B is a
+            # body-local temp — zero carry copies, and peak memory
+            # stays at two state buffers.
+            n_pairs, tail = divmod(n_supersteps, 2)
+
+            def pair(carry, _):
+                carry, o1 = self._superstep(carry, None)
+                carry, o2 = self._superstep(carry, None)
+                return carry, jax.tree.map(
+                    lambda a, b: jnp.stack([a, b]), o1, o2)
+
+            def program(sim_state: SimState, est_state, key):
+                carry, outs = jax.lax.scan(
+                    pair, (sim_state, est_state, key), None,
+                    length=n_pairs)
+                outs = jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+                if tail:
+                    carry, o = self._superstep(carry, None)
+                    outs = jax.tree.map(
+                        lambda x, t: jnp.concatenate([x, t[None]]),
+                        outs, o)
+                return carry, outs
+            # Donated inputs: without donation the initial estimator
+            # state is a third full state buffer the program must
+            # preserve (memory_analysis measured 18.3 GiB peak vs
+            # 12.2 donated at the full-10k 32k point — the difference
+            # between fitting one chip and OOM).
+            return jax.jit(program, donate_argnums=(0, 1, 2))
+
         def program(sim_state: SimState, est_state, key):
             return jax.lax.scan(self._superstep,
                                 (sim_state, est_state, key), None,
                                 length=n_supersteps)
-        return jax.jit(program)
+        return jax.jit(program, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
     def run(self, seed: int = 0, n_ticks: int | None = None) -> RunResult:

@@ -150,3 +150,29 @@ def test_deferred_segmented_matches_eager():
     want, got, fired = _run_pair(n_min_frac=0.999, rounds=3, lseg=4)
     assert fired >= 1
     _assert_state_close(got, want)
+
+
+def test_fused_predict_deterministic_matches_jnp():
+    """Kernel 6 with add_noise=False == T sequential jnp bicycle steps
+    (the PRNG arm has no CPU lowering; its moments are checked on chip
+    by tools/smoke_predict.py)."""
+    from slam_tpu.models.rbpf import propagate_poses
+    from slam_tpu.ops.pallas.kernels import fs1_predict_multi_tpu
+
+    P, T = 512, 8
+    rng = np.random.default_rng(3)
+    xv = jnp.asarray(rng.normal(size=(3, P)).astype(np.float32))
+    controls = jnp.asarray(
+        np.column_stack([rng.uniform(1, 4, T),
+                         rng.uniform(-0.3, 0.3, T)]).astype(np.float32))
+    Q = jnp.asarray(np.diag([0.09, 0.0025]), jnp.float32)
+
+    got = fs1_predict_multi_tpu(xv, jax.random.key(0), controls, Q,
+                                wheelbase=4.0, dt=0.025,
+                                add_noise=False, interpret=True)
+    want = xv
+    for t in range(T):
+        want = propagate_poses(want, controls[t, 0], controls[t, 1],
+                               4.0, 0.025)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

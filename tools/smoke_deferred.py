@@ -18,7 +18,11 @@ def main(P=2048, n_ticks=400):
 
     r_e = Runner(cfg, slam_map, "FASTSLAM1", n_particles=P).run(
         seed=3, n_ticks=n_ticks)
-    est_d = FastSlam1Deferred(cfg, slam_map.n_landmarks)
+    # fused_predict=False: the in-kernel PRNG is a different (equally
+    # distributed) noise stream; the bit-exactness check needs the
+    # same draws as the eager estimator.
+    est_d = FastSlam1Deferred(cfg, slam_map.n_landmarks,
+                              fused_predict=False)
     r_d = Runner(cfg, slam_map, "FASTSLAM1", n_particles=P,
                  estimator=est_d).run(seed=3, n_ticks=n_ticks)
 
@@ -33,6 +37,22 @@ def main(P=2048, n_ticks=400):
         print(f"  final {name}: max rel diff {rel:.3e}")
         assert rel < 5e-2, (name, rel)
     assert err < 0.5, err
+
+    # Fused-predict arm (kernel 6, its own noise stream): trajectory
+    # quality must match the jnp-predict run statistically.
+    est_f = FastSlam1Deferred(cfg, slam_map.n_landmarks)
+    assert hasattr(est_f, "predict_multi")
+    r_f = Runner(cfg, slam_map, "FASTSLAM1", n_particles=P,
+                 estimator=est_f).run(seed=3, n_ticks=n_ticks)
+    act = r_e.active
+    d_e = np.linalg.norm((r_e.est_pose - r_e.true_pose)[act, :2],
+                         axis=1)
+    d_f = np.linalg.norm((r_f.est_pose - r_f.true_pose)[act, :2],
+                         axis=1)
+    print(f"ATE jnp-predict {np.sqrt((d_e**2).mean()):.3f} m, "
+          f"fused-predict {np.sqrt((d_f**2).mean()):.3f} m")
+    assert np.sqrt((d_f ** 2).mean()) < 3 * np.sqrt(
+        (d_e ** 2).mean()) + 0.5
     print("OK")
 
 

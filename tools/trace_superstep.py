@@ -104,6 +104,10 @@ def main():
     ap.add_argument("--deferred", action="store_true")
     ap.add_argument("--workload", default=None)
     ap.add_argument("--out", default="/tmp/trace_superstep")
+    ap.add_argument("--scan", action="store_true",
+                    help="trace the COMPILED lax.scan program (what "
+                         "bench.py runs — includes carry-buffer "
+                         "effects) instead of per-call supersteps")
     ap.add_argument("--parse", default=None,
                     help="only parse an existing trace dir")
     args = ap.parse_args()
@@ -126,16 +130,35 @@ def main():
     est_state = est.init(args.particles if not args.workload else None)
     key = runner.sim.make_key(4)
 
-    step = jax.jit(lambda c: runner._superstep(c, None)[0])
-    carry = (sim_state, est_state, key)
-    for _ in range(args.warmup):
-        carry = step(carry)
-    np.asarray(jax.tree_util.tree_leaves(carry)[0]).ravel()[:1]
+    def fence(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+                np.asarray(leaf).ravel()[:1]
+                return
 
-    with jax.profiler.trace(args.out):
-        for _ in range(args.supersteps):
+    if args.scan:
+        # Warm the state first so the traced window is steady-state.
+        step = jax.jit(lambda c: runner._superstep(c, None)[0])
+        carry = (sim_state, est_state, key)
+        for _ in range(args.warmup):
             carry = step(carry)
-        np.asarray(jax.tree_util.tree_leaves(carry)[0]).ravel()[:1]
+        fence(carry)
+        comp = runner._build(args.supersteps).lower(*carry).compile()
+        out = comp(*carry)
+        fence(out)
+        with jax.profiler.trace(args.out):
+            out = comp(*carry)
+            fence(out)
+    else:
+        step = jax.jit(lambda c: runner._superstep(c, None)[0])
+        carry = (sim_state, est_state, key)
+        for _ in range(args.warmup):
+            carry = step(carry)
+        fence(carry)
+        with jax.profiler.trace(args.out):
+            for _ in range(args.supersteps):
+                carry = step(carry)
+            fence(carry)
     print(f"traced {args.supersteps} supersteps -> {args.out}")
     agg, span = parse_trace(args.out)
     print(f"mean/superstep (span): {span/args.supersteps:.2f} ms")
