@@ -194,10 +194,18 @@ def bench_map_run(method, mapname, n_particles, n_ticks=2000,
     from slam_tpu.config import SlamConfig
     from slam_tpu.maps import read_map_file
     from slam_tpu.runtime import Runner, compute_metrics
+    import jax
     mat = os.path.join(DATA, f"{mapname}.mat")
     cfg = SlamConfig.from_ini(os.path.join(DATA, f"{mapname}.ini"))
-    runner = Runner(cfg, read_map_file(mat), method,
-                    n_particles=n_particles)
+    slam_map = read_map_file(mat)
+    est = None
+    if (method == "FASTSLAM1" and n_particles
+            and n_particles % 512 == 0
+            and jax.default_backend() == "tpu"):
+        from slam_tpu.models.fastslam1 import FastSlam1Deferred
+        est = FastSlam1Deferred(cfg, slam_map.n_landmarks)
+    runner = Runner(cfg, slam_map, method, n_particles=n_particles,
+                    estimator=est)
     m0, ates = None, []
     for seed in seeds:
         result = runner.run(seed=seed, n_ticks=n_ticks)

@@ -252,6 +252,12 @@ class FastSlam2:
 
     # Fields the per-tick predict may modify (run-loop freeze hint).
     PREDICT_TOUCHED = ("xv", "Pv")
+    # Two supersteps per scan body: the update's resample cond writes
+    # fresh landmark buffers, so a 1-superstep body pays a carry copy
+    # every iteration (copy.1022/1023 = 2.8 ms/superstep at 1M in
+    # artifacts/trace_fs2_1m_r05); A -> B -> A keeps the carry
+    # allocation stable.
+    SCAN_PAIR = True
 
     def __init__(self, config: SlamConfig, n_map_landmarks: int,
                  use_pallas: bool | None = None):
@@ -273,6 +279,24 @@ class FastSlam2:
             fs2_update, do_resample=bool(cfg.SWITCH_RESAMPLE),
             use_pallas=use_pallas))
         self._observe_heading = jax.jit(rbpf.observe_heading_particles)
+        if (use_pallas and jax.default_backend() == "tpu"
+                and not cfg.SWITCH_HEADING_KNOWN):
+            # All control ticks in one kernel pass (kernel 6, FS2
+            # variant with Pv propagation). Unlike FS1, the per-tick
+            # heading observe is NOT a no-op for FS2 (Pv != 0), so the
+            # fused path engages only when heading is unknown.
+            from slam_tpu.ops.pallas.kernels import fs2_predict_multi_tpu
+            Qe = jnp.diag(jnp.asarray(cfg.Qe, jnp.float32))
+            noise = bool(cfg.SWITCH_PREDICT_NOISE)
+
+            def predict_multi(state, key, controls):
+                xv, Pv = fs2_predict_multi_tpu(
+                    state.xv, state.Pv, key, controls, Qe,
+                    wheelbase=cfg.WHEELBASE, dt=cfg.DT_CONTROLS,
+                    add_noise=noise)
+                return state._replace(xv=xv, Pv=Pv)
+
+            self.predict_multi = jax.jit(predict_multi)
 
     def init(self, n_particles: int | None = None) -> ParticleState:
         n = n_particles or self.config.NPARTICLES

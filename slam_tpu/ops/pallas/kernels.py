@@ -682,6 +682,138 @@ def fs1_predict_multi_tpu(xv, key, controls, Q, *, wheelbase: float,
     return out.reshape(3, P)
 
 
+def _predict_kernel_fs2(xv_ref, pv_ref, ctl_ref, q_ref, seed_ref,
+                        xvo_ref, pvo_ref,
+                        *, T: int, B: int, wheelbase: float, dt: float,
+                        add_noise: bool):
+    """FS2 variant of kernel 6: all T ticks of pose AND packed-
+    symmetric pose-covariance propagation (Pv <- Gv Pv Gv' + Gu Q Gu',
+    models.fastslam2.fs2_predict / fastslam2.cpp:70-105) in one VMEM
+    pass. q_ref row: (l00, l10, l11, q00, q01, q11)."""
+    if add_noise:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    SB = B // TILE_SUB
+    x = xv_ref[0]
+    y = xv_ref[1]
+    th = xv_ref[2]
+    pv = [pv_ref[i] for i in range(6)]
+    l00, l10, l11 = q_ref[0, 0], q_ref[0, 1], q_ref[0, 2]
+    q00, q01, q11 = q_ref[0, 3], q_ref[0, 4], q_ref[0, 5]
+    inv24 = jnp.float32(2.0 ** -24)
+    for t in range(T):
+        vn = ctl_ref[t, 0]
+        gn = ctl_ref[t, 1]
+        if add_noise:
+            b0 = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
+            b1 = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
+            u1 = jax.lax.bitcast_convert_type(
+                (b0 >> 8) + 1, jnp.int32).astype(jnp.float32) * inv24
+            u2 = jax.lax.bitcast_convert_type(
+                b1 >> 8, jnp.int32).astype(jnp.float32) * inv24
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            e0 = r * jnp.cos(_TWO_PI * u2)
+            e1 = r * jnp.sin(_TWO_PI * u2)
+            V = vn + l00 * e0
+            G = gn + l10 * e0 + l11 * e1
+        else:
+            V = jnp.full((TILE_SUB, SB), vn, jnp.float32)
+            G = jnp.full((TILE_SUB, SB), gn, jnp.float32)
+        sgt = jnp.sin(G + th)
+        cgt = jnp.cos(G + th)
+        sg = jnp.sin(G)
+        cg = jnp.cos(G)
+        al = -V * dt * sgt
+        be = V * dt * cgt
+        a, b, c, d, e, f = pv
+        n00 = a + 2.0 * al * c + al * al * f
+        n01 = b + al * e + be * c + al * be * f
+        n02 = c + al * f
+        n11 = d + 2.0 * be * e + be * be * f
+        n12 = e + be * f
+        g00, g01 = dt * cgt, al
+        g10, g11 = dt * sgt, be
+        g20 = dt * sg / wheelbase
+        g21 = V * dt * cg / wheelbase
+
+        def gq(gi0, gi1, gj0, gj1):
+            return (gi0 * (q00 * gj0 + q01 * gj1)
+                    + gi1 * (q01 * gj0 + q11 * gj1))
+
+        pv = [n00 + gq(g00, g01, g00, g01),
+              n01 + gq(g00, g01, g10, g11),
+              n02 + gq(g00, g01, g20, g21),
+              n11 + gq(g10, g11, g10, g11),
+              n12 + gq(g10, g11, g20, g21),
+              f + gq(g20, g21, g20, g21)]
+        x = x + V * dt * cgt
+        y = y + V * dt * sgt
+        th = wrap_angle(th + V * dt * sg / wheelbase)
+    xvo_ref[0] = x
+    xvo_ref[1] = y
+    xvo_ref[2] = th
+    for i in range(6):
+        pvo_ref[i] = pv[i]
+
+
+@functools.partial(jax.jit, static_argnames=("wheelbase", "dt",
+                                             "add_noise", "interpret"))
+def fs2_predict_multi_tpu(xv, Pv, key, controls, Q, *, wheelbase: float,
+                          dt: float, add_noise: bool = True,
+                          interpret: bool = False):
+    """T control ticks of the FS2 predict (pose + pose covariance) in
+    one kernel call; see fs1_predict_multi_tpu for the PRNG contract."""
+    P = xv.shape[1]
+    T = controls.shape[0]
+    B = 65536
+    while B > TILE_SUB and P % B:
+        B //= 2
+    assert P % B == 0 and B % TILE_SUB == 0, (P, B)
+    Q = jnp.asarray(Q, jnp.float32)
+    Lq = jnp.linalg.cholesky(Q + 1e-20 * jnp.eye(2, dtype=Q.dtype))
+    q_row = jnp.stack([Lq[0, 0], Lq[1, 0], Lq[1, 1],
+                       Q[0, 0], Q[0, 1], Q[1, 1]]).reshape(1, 6)
+    kd = jax.random.key_data(key).ravel().astype(jnp.uint32)
+    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+
+    xv3 = xv.reshape(3, TILE_SUB, P // TILE_SUB)
+    pv6 = Pv.reshape(6, TILE_SUB, P // TILE_SUB)
+    SB = B // TILE_SUB
+    xvo, pvo = pl.pallas_call(
+        functools.partial(_predict_kernel_fs2, T=T, B=B,
+                          wheelbase=wheelbase, dt=dt,
+                          add_noise=add_noise),
+        grid=(P // B,),
+        in_specs=[
+            pl.BlockSpec((3, TILE_SUB, SB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TILE_SUB, SB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # controls
+            pl.BlockSpec((1, 6), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TILE_SUB, SB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TILE_SUB, SB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, TILE_SUB, P // TILE_SUB),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((6, TILE_SUB, P // TILE_SUB),
+                                 jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(xv3, pv6, controls.astype(jnp.float32), q_row, seed)
+    return xvo.reshape(3, P), pvo.reshape(6, P)
+
+
 # ---------------------------------------------------------------------------
 # Kernel 5: fused resample + update (deferred ancestor permutation)
 # ---------------------------------------------------------------------------

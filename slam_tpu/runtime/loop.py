@@ -110,7 +110,12 @@ class Runner:
         period = self.config.steps_per_observe
         ekf = getattr(self.est, "IS_EKF", False)
 
-        if hasattr(self.est, "predict_multi") and not ekf:
+        ps = getattr(est_state, "ps", est_state)
+        n_part = getattr(ps, "n_particles", 0)
+        # The fused multi-tick predict kernel needs a sublane-tileable
+        # particle count; small/unaligned runs keep the per-tick path.
+        if (hasattr(self.est, "predict_multi") and not ekf
+                and n_part % 1024 == 0):
             return self._superstep_multi(carry)
 
         def tick(c, _):

@@ -176,3 +176,40 @@ def test_fused_predict_deterministic_matches_jnp():
                                4.0, 0.025)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fs2_fused_predict_deterministic_matches_jnp():
+    """Kernel 6 FS2 variant with add_noise=False == T sequential jnp
+    fs2_predict steps (pose + packed-symmetric Pv propagation)."""
+    from slam_tpu.models.fastslam2 import fs2_predict
+    from slam_tpu.ops.pallas.kernels import fs2_predict_multi_tpu
+
+    P, T = 512, 8
+    rng = np.random.default_rng(5)
+    state = init_particles(P, 4, 4)
+    Pv = np.zeros((6, P), np.float32)
+    Pv[0] = 0.02
+    Pv[3] = 0.02
+    Pv[5] = 0.01
+    state = state._replace(
+        xv=jnp.asarray(rng.normal(size=(3, P)).astype(np.float32)),
+        Pv=jnp.asarray(Pv))
+    controls = jnp.asarray(
+        np.column_stack([rng.uniform(1, 4, T),
+                         rng.uniform(-0.3, 0.3, T)]).astype(np.float32))
+    Q = jnp.asarray(np.diag([0.09, 0.0025]), jnp.float32)
+
+    got_xv, got_Pv = fs2_predict_multi_tpu(
+        state.xv, state.Pv, jax.random.key(0), controls, Q,
+        wheelbase=4.0, dt=0.025, add_noise=False, interpret=True)
+    want = state
+    for t in range(T):
+        want = fs2_predict(want, jax.random.key(1), controls[t, 0],
+                           controls[t, 1], Q, wheelbase=4.0, dt=0.025,
+                           add_noise=False)
+    np.testing.assert_allclose(np.asarray(got_xv),
+                               np.asarray(want.xv), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_Pv),
+                               np.asarray(want.Pv), rtol=1e-4,
+                               atol=1e-6)

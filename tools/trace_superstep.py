@@ -143,11 +143,18 @@ def main():
         for _ in range(args.warmup):
             carry = step(carry)
         fence(carry)
+        # The built program DONATES its arguments — pass a fresh
+        # device copy per call (the kept `carry` is never donated).
+        import jax.numpy as jnp
+
+        def fresh():
+            return jax.tree.map(jnp.copy, carry)
+
         comp = runner._build(args.supersteps).lower(*carry).compile()
-        out = comp(*carry)
+        out = comp(*fresh())
         fence(out)
         with jax.profiler.trace(args.out):
-            out = comp(*carry)
+            out = comp(*fresh())
             fence(out)
     else:
         step = jax.jit(lambda c: runner._superstep(c, None)[0])
