@@ -385,9 +385,14 @@ def solve_ba_device(prob: BAProblem, iters: int = 10,
     poses, landmarks, cost, lam, n_acc, n_steps, _ = jax.jit(run)(
         poses0, landmarks0, jnp.float32(damping))
     if return_info:
+        # One batched fetch: separate float()/int() conversions each
+        # pay a full tunnel round trip (~0.1-0.2 s apiece here).
+        vals = np.asarray(jnp.stack([
+            cost, lam, n_acc.astype(jnp.float32),
+            n_steps.astype(jnp.float32)]))
         return poses, landmarks, {
-            "cost": float(cost), "n_steps": int(n_steps),
-            "n_accepted": int(n_acc), "final_damping": float(lam)}
+            "cost": float(vals[0]), "n_steps": int(vals[3]),
+            "n_accepted": int(vals[2]), "final_damping": float(vals[1])}
     return poses, landmarks
 
 
