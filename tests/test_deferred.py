@@ -213,3 +213,38 @@ def test_fs2_fused_predict_deterministic_matches_jnp():
     np.testing.assert_allclose(np.asarray(got_Pv),
                                np.asarray(want.Pv), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_runner_deferred_matches_eager_end_to_end():
+    """Full Runner integration on CPU: the deferred estimator (pair
+    scan + donated args + interpret kernels, jnp predict) produces the
+    SAME pose trace and final state as the eager estimator over a real
+    sim run — the regression net for the scan-pairing and donation
+    machinery around kernel 5."""
+    from slam_tpu.config import SlamConfig
+    from slam_tpu.maps import synthetic_map
+    from slam_tpu.models.fastslam1 import FastSlam1Deferred
+    from slam_tpu.runtime import Runner
+
+    cfg = SlamConfig(SWITCH_HEADING_KNOWN=0, max_landmarks=16,
+                     max_observations=8, NPARTICLES=1024,
+                     NEFFECTIVE=768)
+    slam_map = synthetic_map(16, 9, radius=40.0, seed=2)
+
+    r_e = Runner(cfg, slam_map, "FASTSLAM1",
+                 n_particles=1024).run(seed=3, n_ticks=200)
+    est_d = FastSlam1Deferred(cfg, slam_map.n_landmarks,
+                              interpret=True, fused_predict=False)
+    r_d = Runner(cfg, slam_map, "FASTSLAM1", n_particles=1024,
+                 estimator=est_d).run(seed=3, n_ticks=200)
+
+    np.testing.assert_allclose(r_d.est_pose, r_e.est_pose,
+                               rtol=1e-4, atol=1e-4)
+    want = r_e.final_state
+    got = est_d.finalize(r_d.final_state)
+    np.testing.assert_allclose(np.asarray(got.lm),
+                               np.asarray(want.lm),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.logw),
+                               np.asarray(want.logw),
+                               rtol=1e-4, atol=1e-5)
