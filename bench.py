@@ -165,7 +165,8 @@ def bench_particle_throughput(n_particles=1 << 20, n_supersteps=16,
     from slam_tpu.runtime import Runner
     cfg, slam_map = load_workload()
     est = None
-    if method == "FASTSLAM1":
+    if (method == "FASTSLAM1" and n_particles % 512 == 0
+            and jax.default_backend() == "tpu"):
         # Deferred-resample FS1 (round 5): the resample permutation is
         # applied inside the fused update kernel's single state pass —
         # no cond operand copies, no standalone gather pass.

@@ -161,7 +161,8 @@ class DeferredState(NamedTuple):
 
 def fs1_update_deferred(dstate: DeferredState, key, z, ids, zmask, R,
                         n_min, *, do_resample: bool = True,
-                        interpret: bool = False) -> DeferredState:
+                        interpret: bool = False,
+                        lseg: int | None = None) -> DeferredState:
     """FS1 observe update with DEFERRED resampling: the pending
     permutation from the previous superstep is applied to the landmark
     planes inside the fused update kernel's single state pass; this
@@ -188,7 +189,7 @@ def fs1_update_deferred(dstate: DeferredState, key, z, ids, zmask, R,
                                     (dstate.lo, dstate.nch,
                                      dstate.ident),
                                     z, slot, matched, slot_new, ok, R,
-                                    interpret=interpret)
+                                    lseg=lseg, interpret=interpret)
     table = state.da_table.at[
         jnp.where(ok, ids, state.da_table.shape[0])].set(
         slot_new, mode="drop")

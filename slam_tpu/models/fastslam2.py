@@ -211,7 +211,8 @@ def fs2_update(state: ParticleState, key, z, ids, zmask, R, n_min,
             _fused_block,
             fs1_update_tpu,
         )
-        if _fused_block(state.n_particles, state.capacity) is not None:
+        if _fused_block(state.n_particles, state.capacity,
+                        z.shape[0]) is not None:
             # Single-pass aliased kernel: likelihood + matched feature
             # EKF + new-feature planes, exactly as in fs1_update (the
             # math at the sampled pose is identical).

@@ -337,32 +337,14 @@ def _exact_matmul(sel_bf16, x):
             + jnp.dot(sel_bf16, xc, preferred_element_type=jnp.float32))
 
 
-def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
-                         r_ref, dlogw_ref, lmo_ref, lmPo_ref,
-                         *, Lseg: int, K: int):
-    """One VMEM-resident pass per (lane block x landmark segment):
-    landmark gather (one-hot MXU), Jacobians, per-obs log-likelihood,
-    matched-feature 2x2 EKF updates, new-feature initialization, and
-    the combined scatter-back — with the landmark planes aliased in
-    place.
-
-    Replaces the round-3 chain gather_landmarks -> _observe_call ->
-    scatter_slots -> add_new_features, whose HLO moved the [5L, P]
-    landmark state ~4x per observe (gather-relayout copies, the
-    one-hot rewrite, and lax.cond carry copies; see the round-4 trace
-    notes in BENCH_NOTES.md).
-
-    Segmentation (round 5): the grid's second dim walks row groups of
-    ``Lseg`` landmark slots so the fused path runs at ANY per-particle
-    capacity (the full-10k BASELINE config #5 map; one lane block of
-    L = 10k state no longer needs to fit VMEM at once). Known
-    association puts every observation in exactly one segment, so each
-    segment updates the observations whose slot it owns — the same
-    ownership-mask pattern slam_tpu.parallel.landmarks uses across
-    shards — and the per-particle weight delta accumulates across the
-    (innermost) segment iterations in the revisited dlogw block."""
-    seg = pl.program_id(1)
-    s_lo = seg * Lseg
+def _fused_update_math(xv_ref, planes, zm_ref, slt_ref, r_ref,
+                       s_lo, Lseg: int, K: int):
+    """Shared segment-ownership observe-update math of kernels 4 and 5:
+    slot gather (one-hot MXU), Jacobians, per-obs log-likelihood,
+    matched-feature 2x2 EKF, new-feature init, combined scatter.
+    ``planes``: the five [Lseg, B] landmark plane values of this
+    segment (pre-permuted for kernel 5). Returns (dpart [1, B], five
+    output planes)."""
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, Lseg), 1)
     sub_l = jax.lax.broadcasted_iota(jnp.int32, (Lseg, 1), 0)
 
@@ -396,11 +378,7 @@ def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
     keep = 1.0 - (jnp.sum(selT_m, axis=1, keepdims=True)
                   + jnp.sum(selT_n, axis=1, keepdims=True))  # [Lseg, 1]
 
-    lmx = _exact_matmul(sel, lm_ref[0])
-    lmy = _exact_matmul(sel, lm_ref[1])
-    p00 = _exact_matmul(sel, lmP_ref[0])
-    p01 = _exact_matmul(sel, lmP_ref[1])
-    p11 = _exact_matmul(sel, lmP_ref[2])
+    lmx, lmy, p00, p01, p11 = [_exact_matmul(sel, pl_) for pl_ in planes]
 
     r00, r01, r11 = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
     xvx, xvy, xvt = (xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :])
@@ -413,6 +391,50 @@ def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
     dpart = jnp.sum(logl * own_m_c.astype(logl.dtype), axis=0,
                     keepdims=True)
 
+    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
+    ini = pk.feature_init_planes(xvx, xvy, xvt, z0, z1, r00, r01, r11)
+
+    def scat(rows, u, i):
+        return (rows * keep + _exact_matmul(selT_m, u)
+                + _exact_matmul(selT_n, i))
+
+    outs = (scat(planes[0], upd.nx, ini[0]),
+            scat(planes[1], upd.ny, ini[1]),
+            scat(planes[2], upd.np00, ini[2]),
+            scat(planes[3], upd.np01, ini[3]),
+            scat(planes[4], upd.np11, ini[4]))
+    return dpart, outs
+
+
+def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
+                         r_ref, dlogw_ref, lmo_ref, lmPo_ref,
+                         *, Lseg: int, K: int):
+    """One VMEM-resident pass per (lane block x landmark segment):
+    landmark gather (one-hot MXU), Jacobians, per-obs log-likelihood,
+    matched-feature 2x2 EKF updates, new-feature initialization, and
+    the combined scatter-back — with the landmark planes aliased in
+    place.
+
+    Replaces the round-3 chain gather_landmarks -> _observe_call ->
+    scatter_slots -> add_new_features, whose HLO moved the [5L, P]
+    landmark state ~4x per observe (gather-relayout copies, the
+    one-hot rewrite, and lax.cond carry copies; see the round-4 trace
+    notes in BENCH_NOTES.md).
+
+    Segmentation (round 5): the grid's second dim walks row groups of
+    ``Lseg`` landmark slots so the fused path runs at ANY per-particle
+    capacity (the full-10k BASELINE config #5 map; one lane block of
+    L = 10k state no longer needs to fit VMEM at once). Known
+    association puts every observation in exactly one segment, so each
+    segment updates the observations whose slot it owns — the same
+    ownership-mask pattern slam_tpu.parallel.landmarks uses across
+    shards — and the per-particle weight delta accumulates across the
+    (innermost) segment iterations in the revisited dlogw block."""
+    seg = pl.program_id(1)
+    planes = (lm_ref[0], lm_ref[1], lmP_ref[0], lmP_ref[1], lmP_ref[2])
+    dpart, outs = _fused_update_math(xv_ref, planes, zm_ref, slt_ref,
+                                     r_ref, seg * Lseg, Lseg, K)
+
     # The dlogw block is indexed by the lane block alone, so it stays
     # resident across the (innermost) segment dim and accumulates.
     @pl.when(seg == 0)
@@ -423,18 +445,11 @@ def _fused_update_kernel(xv_ref, lm_ref, lmP_ref, zm_ref, slt_ref,
     def _():
         dlogw_ref[:, :] += dpart
 
-    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
-    ini = pk.feature_init_planes(xvx, xvy, xvt, z0, z1, r00, r01, r11)
-
-    def scat(rows, u, i):
-        return (rows * keep + _exact_matmul(selT_m, u)
-                + _exact_matmul(selT_n, i))
-
-    lmo_ref[0] = scat(lm_ref[0], upd.nx, ini[0])
-    lmo_ref[1] = scat(lm_ref[1], upd.ny, ini[1])
-    lmPo_ref[0] = scat(lmP_ref[0], upd.np00, ini[2])
-    lmPo_ref[1] = scat(lmP_ref[1], upd.np01, ini[3])
-    lmPo_ref[2] = scat(lmP_ref[2], upd.np11, ini[4])
+    lmo_ref[0] = outs[0]
+    lmo_ref[1] = outs[1]
+    lmPo_ref[0] = outs[2]
+    lmPo_ref[1] = outs[3]
+    lmPo_ref[2] = outs[4]
 
 
 # Non-landmark VMEM working set, in [*, B]-plane equivalents: the ~45
@@ -572,6 +587,34 @@ def fs1_update_tpu(state, z, slot, matched, slot_new, ok_new, R,
 _TWO_PI = 6.283185307179586
 
 
+def _sample_vg(vn, gn, l00, l10, l11, shape, add_noise: bool):
+    """Per-tick control sample ~ N((vn, gn), L L') from the TPU
+    hardware PRNG via Box-Muller, or the nominal controls broadcast
+    when noise is off. prng_random_bits yields SIGNED int32 — bitcast
+    before shifting or the arithmetic shift sign-extends half the
+    draws negative (log of a negative -> NaN on chip); the 24-bit
+    values are sign-bit-clear so the uint32->int32 bitcast before the
+    float cast is value-preserving (Mosaic has no uint->float cast)."""
+    if not add_noise:
+        return (jnp.full(shape, vn, jnp.float32),
+                jnp.full(shape, gn, jnp.float32))
+    inv24 = jnp.float32(2.0 ** -24)
+    b0 = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(shape), jnp.uint32)
+    b1 = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(shape), jnp.uint32)
+    # u1 in (0, 1] (never 0 for the log), u2 in [0, 1).
+    u1 = jax.lax.bitcast_convert_type(
+        (b0 >> 8) + 1, jnp.int32).astype(jnp.float32) * inv24
+    u2 = jax.lax.bitcast_convert_type(
+        b1 >> 8, jnp.int32).astype(jnp.float32) * inv24
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    e0 = r * jnp.cos(_TWO_PI * u2)
+    e1 = r * jnp.sin(_TWO_PI * u2)
+    return vn + l00 * e0, gn + l10 * e0 + l11 * e1
+
+
+
 def _predict_kernel(xv_ref, ctl_ref, q_ref, seed_ref, xvo_ref,
                     *, T: int, B: int, wheelbase: float, dt: float,
                     add_noise: bool):
@@ -594,34 +637,9 @@ def _predict_kernel(xv_ref, ctl_ref, q_ref, seed_ref, xvo_ref,
     y = xv_ref[1]
     th = xv_ref[2]
     l00, l10, l11 = q_ref[0, 0], q_ref[0, 1], q_ref[0, 2]
-    inv24 = jnp.float32(2.0 ** -24)
     for t in range(T):
-        vn = ctl_ref[t, 0]
-        gn = ctl_ref[t, 1]
-        if add_noise:
-            # prng_random_bits yields SIGNED int32 — bitcast before
-            # shifting or the arithmetic shift sign-extends half the
-            # draws negative (log of a negative -> NaN).
-            b0 = jax.lax.bitcast_convert_type(
-                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
-            b1 = jax.lax.bitcast_convert_type(
-                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
-            # u1 in (0, 1] (never 0 for the log), u2 in [0, 1). The
-            # 24-bit values are sign-bit-clear, so the uint32->int32
-            # bitcast is value-preserving (Mosaic has no uint->float
-            # cast).
-            u1 = jax.lax.bitcast_convert_type(
-                (b0 >> 8) + 1, jnp.int32).astype(jnp.float32) * inv24
-            u2 = jax.lax.bitcast_convert_type(
-                b1 >> 8, jnp.int32).astype(jnp.float32) * inv24
-            r = jnp.sqrt(-2.0 * jnp.log(u1))
-            e0 = r * jnp.cos(_TWO_PI * u2)
-            e1 = r * jnp.sin(_TWO_PI * u2)
-            V = vn + l00 * e0
-            G = gn + l10 * e0 + l11 * e1
-        else:
-            V = jnp.full((TILE_SUB, SB), vn, jnp.float32)
-            G = jnp.full((TILE_SUB, SB), gn, jnp.float32)
+        V, G = _sample_vg(ctl_ref[t, 0], ctl_ref[t, 1], l00, l10,
+                          l11, (TILE_SUB, SB), add_noise)
         x = x + V * dt * jnp.cos(G + th)
         y = y + V * dt * jnp.sin(G + th)
         th = wrap_angle(th + V * dt * jnp.sin(G) / wheelbase)
@@ -699,27 +717,9 @@ def _predict_kernel_fs2(xv_ref, pv_ref, ctl_ref, q_ref, seed_ref,
     pv = [pv_ref[i] for i in range(6)]
     l00, l10, l11 = q_ref[0, 0], q_ref[0, 1], q_ref[0, 2]
     q00, q01, q11 = q_ref[0, 3], q_ref[0, 4], q_ref[0, 5]
-    inv24 = jnp.float32(2.0 ** -24)
     for t in range(T):
-        vn = ctl_ref[t, 0]
-        gn = ctl_ref[t, 1]
-        if add_noise:
-            b0 = jax.lax.bitcast_convert_type(
-                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
-            b1 = jax.lax.bitcast_convert_type(
-                pltpu.prng_random_bits((TILE_SUB, SB)), jnp.uint32)
-            u1 = jax.lax.bitcast_convert_type(
-                (b0 >> 8) + 1, jnp.int32).astype(jnp.float32) * inv24
-            u2 = jax.lax.bitcast_convert_type(
-                b1 >> 8, jnp.int32).astype(jnp.float32) * inv24
-            r = jnp.sqrt(-2.0 * jnp.log(u1))
-            e0 = r * jnp.cos(_TWO_PI * u2)
-            e1 = r * jnp.sin(_TWO_PI * u2)
-            V = vn + l00 * e0
-            G = gn + l10 * e0 + l11 * e1
-        else:
-            V = jnp.full((TILE_SUB, SB), vn, jnp.float32)
-            G = jnp.full((TILE_SUB, SB), gn, jnp.float32)
+        V, G = _sample_vg(ctl_ref[t, 0], ctl_ref[t, 1], l00, l10,
+                          l11, (TILE_SUB, SB), add_noise)
         sgt = jnp.sin(G + th)
         cgt = jnp.cos(G + th)
         sg = jnp.sin(G)
@@ -966,52 +966,10 @@ def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
             acc = jax.lax.bitcast_convert_type(acc, jnp.float32)
         gath[:, :] = acc
 
-    # ---- kernel-4 update body on the permuted values ----
-    s_lo = s * Lseg
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, Lseg), 1)
-    sub_l = jax.lax.broadcasted_iota(jnp.int32, (Lseg, 1), 0)
-
-    slotm_c = _col(slt_ref, 0, K)
-    slotm_r = _lane(slt_ref, 0, K)
-    slotn_r = _lane(slt_ref, 1, K)
-    z0 = _col(zm_ref, 0, K)
-    z1 = _col(zm_ref, 1, K)
-    m_col = _col(zm_ref, 2, K)
-    m_row = _lane(zm_ref, 2, K)
-    n_row = _lane(zm_ref, 3, K)
-
-    own_m_c = ((m_col > 0) & (slotm_c >= s_lo)
-               & (slotm_c < s_lo + Lseg))
-    own_m_r = ((m_row > 0) & (slotm_r >= s_lo)
-               & (slotm_r < s_lo + Lseg))
-    own_n_r = ((n_row > 0) & (slotn_r >= s_lo)
-               & (slotn_r < s_lo + Lseg))
-    lslot_c = jnp.where(own_m_c, slotm_c - s_lo, 0)
-    lslot_m_r = jnp.where(own_m_r, slotm_r - s_lo, 0)
-    lslot_n_r = jnp.where(own_n_r, slotn_r - s_lo, 0)
-
-    sel = (lane_l == lslot_c).astype(jnp.bfloat16)
-    selT_m = ((sub_l == lslot_m_r) & own_m_r).astype(jnp.bfloat16)
-    selT_n = ((sub_l == lslot_n_r) & own_n_r).astype(jnp.bfloat16)
-    keep = 1.0 - (jnp.sum(selT_m, axis=1, keepdims=True)
-                  + jnp.sum(selT_n, axis=1, keepdims=True))
-
-    lmx = _exact_matmul(sel, gath[0 * Lseg:1 * Lseg])
-    lmy = _exact_matmul(sel, gath[1 * Lseg:2 * Lseg])
-    p00 = _exact_matmul(sel, gath[2 * Lseg:3 * Lseg])
-    p01 = _exact_matmul(sel, gath[3 * Lseg:4 * Lseg])
-    p11 = _exact_matmul(sel, gath[4 * Lseg:5 * Lseg])
-
-    r00, r01, r11 = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
-    xvx, xvy, xvt = (xv_ref[0:1, :], xv_ref[1:2, :], xv_ref[2:3, :])
-    J = pk.jacobians_planes(xvx, xvy, xvt, lmx, lmy, p00, p01, p11,
-                            r00, r01, r11)
-    v0 = z0 - J.zr
-    v1 = wrap_angle(z1 - J.zb)
-
-    logl = pk.log_gauss2_planes(v0, v1, J.s00, J.s01, J.s11)
-    dpart = jnp.sum(logl * own_m_c.astype(logl.dtype), axis=0,
-                    keepdims=True)
+    # ---- shared update body (kernel 4's math) on permuted values ----
+    planes = tuple(gath[g * Lseg:(g + 1) * Lseg] for g in range(5))
+    dpart, outs = _fused_update_math(xv_ref, planes, zm_ref, slt_ref,
+                                     r_ref, s * Lseg, Lseg, K)
 
     @pl.when(s == 0)
     def _():
@@ -1021,18 +979,11 @@ def _deferred_kernel(lo_ref, nch_ref, ident_ref, xv_ref, zm_ref,
     def _():
         dlogw_ref[:, :] += dpart
 
-    upd = pk.feature_update_planes(lmx, lmy, p00, p01, p11, v0, v1, J)
-    ini = pk.feature_init_planes(xvx, xvy, xvt, z0, z1, r00, r01, r11)
-
-    def scat(rows, u, i_):
-        return (rows * keep + _exact_matmul(selT_m, u)
-                + _exact_matmul(selT_n, i_))
-
-    lmo_ref[0] = scat(gath[0 * Lseg:1 * Lseg], upd.nx, ini[0])
-    lmo_ref[1] = scat(gath[1 * Lseg:2 * Lseg], upd.ny, ini[1])
-    lmPo_ref[0] = scat(gath[2 * Lseg:3 * Lseg], upd.np00, ini[2])
-    lmPo_ref[1] = scat(gath[3 * Lseg:4 * Lseg], upd.np01, ini[3])
-    lmPo_ref[2] = scat(gath[4 * Lseg:5 * Lseg], upd.np11, ini[4])
+    lmo_ref[0] = outs[0]
+    lmo_ref[1] = outs[1]
+    lmPo_ref[0] = outs[2]
+    lmPo_ref[1] = outs[3]
+    lmPo_ref[2] = outs[4]
 
 
 def _deferred_tiling(P: int, L: int, K: int, block: int, chunk: int

@@ -27,6 +27,7 @@ axis shards over a mesh with a psum over shards (solve_ba(mesh=...)).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -319,6 +320,60 @@ def solve_ba(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
     return poses, landmarks
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "tol",
+                                             "max_retries"))
+def _lm_run(poses, landmarks, lam, odom, odom_info, z, lm_idx, mask,
+            R, anchor, *, iters: int, tol: float, max_retries: int):
+    """The whole LM loop (outer accepted-step loop + inner damping-
+    retry loop) as one while_loop nest — module-level jit so repeated
+    solves of same-shaped problems hit the trace cache."""
+    static = (odom, odom_info, z, lm_idx, mask, R, anchor)
+    cost = _ba_cost(poses, landmarks, *static)
+
+    def outer_body(c):
+        poses, landmarks, cost, lam, n_acc, n_steps, done = c
+
+        # Inner damping-retry loop: keep trying (lam x10) until a
+        # trial from the SAME linearization point decreases cost.
+        def icond(ic):
+            _, _, _, _, tries, acc = ic
+            return (~acc) & (tries <= max_retries)
+
+        def ibody(ic):
+            lam_c, _, _, _, tries, _ = ic
+            tp, tl = _gn_step(poses, landmarks, *static, lam_c)
+            tc = _ba_cost(tp, tl, *static)
+            acc = jnp.isfinite(tc) & (tc <= cost)
+            lam_n = jnp.where(acc, lam_c,
+                              jnp.minimum(lam_c * 10.0, 1e8))
+            return (lam_n, tp, tl, tc, tries + 1, acc)
+
+        lam_f, tp, tl, tc, tries, acc = jax.lax.while_loop(
+            icond, ibody,
+            (lam, poses, landmarks, jnp.float32(jnp.inf),
+             jnp.int32(0), jnp.bool_(False)))
+
+        gain = cost - tc
+        new_poses = jnp.where(acc, tp, poses)
+        new_lms = jnp.where(acc, tl, landmarks)
+        new_cost = jnp.where(acc, tc, cost)
+        new_lam = jnp.where(acc, jnp.maximum(lam_f / 3.0, 1e-9),
+                            lam_f)
+        converged = acc & (gain <= tol * jnp.maximum(new_cost, 1.0))
+        return (new_poses, new_lms, new_cost, new_lam,
+                n_acc + acc.astype(jnp.int32), n_steps + tries,
+                (~acc) | converged)
+
+    def outer_cond(c):
+        *_, n_acc, _, done = c
+        return (~done) & (n_acc < iters)
+
+    return jax.lax.while_loop(
+        outer_cond, outer_body,
+        (poses, landmarks, cost, lam, jnp.int32(0), jnp.int32(0),
+         jnp.bool_(False)))
+
+
 def solve_ba_device(prob: BAProblem, iters: int = 10,
                     damping: float = 1e-3, tol: float = 1e-8,
                     max_retries: int = 6, return_info: bool = False):
@@ -329,61 +384,15 @@ def solve_ba_device(prob: BAProblem, iters: int = 10,
     11 ms linear solve through the tunnel — the round-4 BA wall gap,
     BENCH_NOTES). Identical trial/accept sequence to solve_ba (same
     float comparisons on the same values — equality-tested in
-    tests/test_posegraph.py)."""
+    tests/test_ba.py)."""
     poses0 = jnp.asarray(prob.poses0, jnp.float32)
     landmarks0 = jnp.asarray(prob.landmarks0, jnp.float32)
     anchor = poses0[0]
-    static = (prob.odom, prob.odom_info, prob.z, prob.lm_idx, prob.mask,
-              prob.R, anchor)
-
-    def run(poses, landmarks, lam):
-        cost = _ba_cost(poses, landmarks, *static)
-
-        def outer_body(c):
-            poses, landmarks, cost, lam, n_acc, n_steps, done = c
-
-            # Inner damping-retry loop: keep trying (lam x10) until a
-            # trial from the SAME linearization point decreases cost.
-            def icond(ic):
-                _, _, _, _, tries, acc = ic
-                return (~acc) & (tries <= max_retries)
-
-            def ibody(ic):
-                lam_c, _, _, _, tries, _ = ic
-                tp, tl = _gn_step(poses, landmarks, *static, lam_c)
-                tc = _ba_cost(tp, tl, *static)
-                acc = jnp.isfinite(tc) & (tc <= cost)
-                lam_n = jnp.where(acc, lam_c,
-                                  jnp.minimum(lam_c * 10.0, 1e8))
-                return (lam_n, tp, tl, tc, tries + 1, acc)
-
-            lam_f, tp, tl, tc, tries, acc = jax.lax.while_loop(
-                icond, ibody,
-                (lam, poses, landmarks, jnp.float32(jnp.inf),
-                 jnp.int32(0), jnp.bool_(False)))
-
-            gain = cost - tc
-            new_poses = jnp.where(acc, tp, poses)
-            new_lms = jnp.where(acc, tl, landmarks)
-            new_cost = jnp.where(acc, tc, cost)
-            new_lam = jnp.where(acc, jnp.maximum(lam_f / 3.0, 1e-9),
-                                lam_f)
-            converged = acc & (gain <= tol * jnp.maximum(new_cost, 1.0))
-            return (new_poses, new_lms, new_cost, new_lam,
-                    n_acc + acc.astype(jnp.int32), n_steps + tries,
-                    (~acc) | converged)
-
-        def outer_cond(c):
-            *_, n_acc, _, done = c
-            return (~done) & (n_acc < iters)
-
-        return jax.lax.while_loop(
-            outer_cond, outer_body,
-            (poses, landmarks, cost, lam, jnp.int32(0), jnp.int32(0),
-             jnp.bool_(False)))
-
-    poses, landmarks, cost, lam, n_acc, n_steps, _ = jax.jit(run)(
-        poses0, landmarks0, jnp.float32(damping))
+    poses, landmarks, cost, lam, n_acc, n_steps, _ = _lm_run(
+        poses0, landmarks0, jnp.float32(damping), prob.odom,
+        prob.odom_info, prob.z, prob.lm_idx, prob.mask, prob.R,
+        anchor, iters=iters, tol=float(tol),
+        max_retries=int(max_retries))
     if return_info:
         # One batched fetch: separate float()/int() conversions each
         # pay a full tunnel round trip (~0.1-0.2 s apiece here).

@@ -101,7 +101,8 @@ def run_config5(n_particles: int = 1_000_000,
     devs = list(devices if devices is not None
                 else jax.devices()[: n_p * n_l])
     if (n_p, n_l) == (1, 1) and jax.default_backend() == "tpu" \
-            and n_particles % 512 == 0:
+            and n_particles % 512 == 0 \
+            and (devices is None or devs[0] == jax.devices()[0]):
         # Single chip: the deferred-resample estimator (kernel 5) —
         # the resample permutation rides the fused update's one state
         # pass, so the full-10k capacity point needs 2x state (in+out

@@ -61,58 +61,15 @@ def _run_pair(P=1024, L=16, n_map=24, K=5, rounds=4, n_min_frac=0.99,
 
         state_e = fs1_update(state_e, key, z, ids, zmask, R, n_min,
                              use_pallas=False)
-        if lseg is None:
-            state_d = fs1_update_deferred(state_d, key, z, ids, zmask,
-                                          R, n_min, interpret=True)
-        else:
-            state_d = _update_deferred_lseg(state_d, key, z, ids,
-                                            zmask, R, n_min, lseg)
+        state_d = fs1_update_deferred(state_d, key, z, ids, zmask,
+                                      R, n_min, interpret=True,
+                                      lseg=lseg)
         # A firing resample resets the weights to exactly uniform.
         if np.allclose(np.asarray(state_e.logw), -np.log(P)):
             fired += 1
 
     final = finalize_deferred(state_d, interpret=True)
     return state_e, final, fired
-
-
-def _update_deferred_lseg(dstate, key, z, ids, zmask, R, n_min, lseg):
-    """fs1_update_deferred with a forced landmark segmentation (drives
-    the multi-segment arm of the deferred kernel)."""
-    from slam_tpu.models.fastslam1 import deferred_resample_bounds
-    from slam_tpu.ops.pallas.gather import bounds_gather_multi
-    from slam_tpu.ops.pallas.kernels import fs1_resample_update_tpu
-
-    state, S = dstate.ps, dstate.S
-    assoc, is_new = rbpf.associate_known(state, ids, zmask)
-    matched = assoc >= 0
-    slot = jnp.where(matched, assoc, 0)
-    L = state.capacity
-    offset = (jnp.cumsum(is_new.astype(jnp.int32))
-              - is_new.astype(jnp.int32))
-    slot_new = state.n + offset
-    ok = is_new & (slot_new < L)
-    state = fs1_resample_update_tpu(state, S,
-                                    (dstate.lo, dstate.nch,
-                                     dstate.ident),
-                                    z, slot, matched, slot_new, ok, R,
-                                    lseg=lseg, interpret=True)
-    table = state.da_table.at[
-        jnp.where(ok, ids, state.da_table.shape[0])].set(
-        slot_new, mode="drop")
-    state = state._replace(n=state.n + jnp.sum(ok, dtype=jnp.int32),
-                           da_table=table)
-    S_next, meta, need, new_logw = deferred_resample_bounds(
-        state.logw, key, n_min, True)
-    small = jnp.concatenate([state.xv, state.Pv], axis=0)
-    small_g = jax.lax.cond(
-        need,
-        lambda sm: bounds_gather_multi([sm], S_next,
-                                       interpret=True)[0],
-        lambda sm: sm, small)
-    state = state._replace(logw=new_logw, xv=small_g[:3],
-                           Pv=small_g[3:9])
-    return DeferredState(ps=state, S=S_next, lo=meta[0], nch=meta[1],
-                         ident=meta[2])
 
 
 def _assert_state_close(got, want):
