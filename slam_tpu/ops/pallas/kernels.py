@@ -1057,12 +1057,14 @@ def deferred_bounds_meta(S, block: int | None = None,
     block = block or dB
     chunk = chunk or dC
     nb = P // block
-    Sm1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), S[:-1]])
-    ar = jnp.arange(P, dtype=jnp.int32)
-    # Output j's ancestor is j iff Sm1[j] <= j < S[j]; a block is
-    # identity iff that holds for every j in it.
-    e = (Sm1 <= ar) & (S > ar)
-    ident = jnp.all(e.reshape(nb, block), axis=1)
+    # The identity flag stays ZERO on fire bounds: a truly-identity
+    # block under a FIRING resample is vanishingly rare (measured
+    # ancestor spans cluster at p5=468..p99=582 around block=512 —
+    # tools/diag_fire_spans.py), ident=0 merely routes it through the
+    # always-correct selection path, and computing the exact flags
+    # cost a [P]-elementwise pass (~0.7 ms/firing at 1M). Skip
+    # supersteps use identity_bounds_meta (all-ones) instead.
+    ident = jnp.zeros((nb,), jnp.int32)
 
     # Coarse rank of the block edges in S: S_sub[s] = S[stride*(s+1)-1]
     # (the max of subgroup s), so #{s : S_sub[s] < t} * stride is a
@@ -1076,9 +1078,8 @@ def deferred_bounds_meta(S, block: int | None = None,
     last_ub = jnp.minimum(jnp.sum(le, axis=1) * stride + (stride - 1),
                           P - 1)                        # >= true last
     lo = (first_lb // LANE) * LANE
-    lo = jnp.where(ident, edges, lo)
-    nch = jnp.where(ident, 1, (last_ub - lo) // chunk + 1)
-    return lo, nch, ident.astype(jnp.int32)
+    nch = (last_ub - lo) // chunk + 1
+    return lo, nch, ident
 
 
 def identity_bounds_meta(P: int, block: int | None = None):
